@@ -1,0 +1,87 @@
+"""The extraction kernels U1 (links+keywords) and U2 (visible text).
+
+Semantics reproduced from the reference, pinned by golden tests:
+
+U1 — links + keywords (/root/reference/linkNodeParsing.go:14-131):
+  * every node is visited in document pre-order (getAllLinks walks
+    self + siblings + children — i.e. the full tree from the root);
+  * a link is emitted *per matching attribute*: a node carrying both
+    ``href`` and ``src`` emits TWO links (the attr loop at
+    linkNodeParsing.go:16-45 has no break after a successful emit);
+  * the destination is ``origin.ResolveReference(parse(attr_value))``
+    re-serialized (linkNodeParsing.go:18-28);
+  * an unparseable attr value aborts the *attr loop* for that node
+    (``break`` at linkNodeParsing.go:24) — attrs after it emit nothing;
+  * keywords = every text node in the link node's subtree (self
+    included), cleaned with stringsx.Clean (F12), weighted by the
+    nearest enclosing h1..h7 multiplier 10..4 (default 1), inherited
+    downward (extractKeywords, linkNodeParsing.go:97-131). The
+    heading switch runs on *every* node's Data before the text-node
+    check, so a text node whose raw content is exactly "h1".."h7"
+    adopts that multiplier — faithful quirk, pinned by test;
+  * a keyword row is emitted when the *raw* node text is non-empty,
+    even if it cleans to "" (the check at linkNodeParsing.go:117 is
+    on the raw Data).
+
+U2 — visible text (the input_hint invariant): cleaned text nodes in
+document pre-order whose cleaned form is non-empty, joined by a
+single space. The corpus generator produces the golden ``text``
+column from its structural spec with the same rule, so the kernel is
+asserted byte-identical against goldens it did not produce.
+"""
+
+from __future__ import annotations
+
+from ..functions.textclean import go_clean
+from ..functions.urlnorm import resolve
+from .html_tree import TEXT, Node, parse_html
+
+_HEADING_MULT = {"h1": 10, "h2": 9, "h3": 8, "h4": 7, "h5": 6, "h6": 5, "h7": 4}
+
+
+def extract_keywords(node: Node, multiplier: int = 1) -> list[tuple[int, str]]:
+    """Reference extractKeywords: [(visibility, cleaned_text), ...]."""
+    multiplier = _HEADING_MULT.get(node.data, multiplier)
+    out: list[tuple[int, str]] = []
+    if node.type == TEXT and node.data != "":
+        out.append((multiplier, go_clean(node.data)))
+    for child in node.children:
+        out.extend(extract_keywords(child, multiplier))
+    return out
+
+
+def extract_links(origin_url: str, html_bytes: bytes) -> list[dict]:
+    """Reference getAllLinks over one page.
+
+    Returns [{"dest_url": str, "keywords": [{"visibility", "text"}]}]
+    in document order (the reference's channel order for one page).
+    """
+    root = parse_html(html_bytes)
+    links: list[dict] = []
+    for node in root.pre_order():
+        if node.type != 1:  # ELEMENT
+            continue
+        emitted_keywords = None
+        for key, val in node.attrs:
+            if key not in ("href", "src"):
+                continue
+            dest = resolve(origin_url, val)
+            if dest is None:
+                break  # parse error aborts this node's attr loop
+            if emitted_keywords is None:
+                emitted_keywords = [
+                    {"visibility": v, "text": t} for v, t in extract_keywords(node, 1)
+                ]
+            links.append({"dest_url": dest, "keywords": emitted_keywords})
+    return links
+
+
+def visible_text(html_bytes: bytes) -> str:
+    """Kernel U2: cleaned non-empty text nodes, pre-order, space-joined."""
+    root = parse_html(html_bytes)
+    parts = []
+    for node in root.text_nodes():
+        cleaned = go_clean(node.data)
+        if cleaned:
+            parts.append(cleaned)
+    return " ".join(parts)

@@ -1,0 +1,118 @@
+"""Content-type sniffing (kernel U4, SURVEY.md §2.10).
+
+Reimplements the WHATWG MIME-sniffing subset that Go's
+``http.DetectContentType`` applies (/root/reference/html.go:96):
+first 512 bytes, signature table in spec order, masked
+case-insensitive HTML tag matches with a tag-terminating byte,
+text/plain vs application/octet-stream fallback on "binary" bytes.
+
+Table-driven port of the published WHATWG algorithm
+(https://mimesniff.spec.whatwg.org/) — no Go code copied.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+_SNIFF_LEN = 512
+_WS = b"\t\n\x0c\r "
+
+# (pattern, mime) exact-prefix signatures, spec order.
+_EXACT = [
+    (b"%PDF-", "application/pdf"),
+    (b"%!PS-Adobe-", "application/postscript"),
+    (b"\xfe\xff\x00\x00", "text/plain; charset=utf-16be"),
+    (b"\xff\xfe\x00\x00", "text/plain; charset=utf-16le"),
+    (b"\xef\xbb\xbf\x00", "text/plain; charset=utf-8"),
+    (b"GIF87a", "image/gif"),
+    (b"GIF89a", "image/gif"),
+    (b"\x89PNG\r\n\x1a\n", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"BM", "image/bmp"),
+    (b"\x00\x00\x01\x00", "image/x-icon"),
+    (b"\x00\x00\x02\x00", "image/x-icon"),
+    (b"OggS\x00", "application/ogg"),
+    (b"ID3", "audio/mpeg"),
+    (b"\x1f\x8b\x08", "application/x-gzip"),
+    (b"PK\x03\x04", "application/zip"),
+    (b"Rar!\x1a\x07\x00", "application/x-rar-compressed"),
+    (b"wOFF", "font/woff"),
+    (b"wOF2", "font/woff2"),
+    (b"\x00\x01\x00\x00", "font/ttf"),
+    (b"OTTO", "font/otf"),
+]
+
+# HTML tag sniffers: case-insensitive prefix + tag-terminating byte
+# (space or '>') required right after — per spec and Go's htmlSig.
+_HTML_TAGS = [
+    b"<!DOCTYPE HTML",
+    b"<HTML",
+    b"<HEAD",
+    b"<SCRIPT",
+    b"<IFRAME",
+    b"<H1",
+    b"<DIV",
+    b"<FONT",
+    b"<TABLE",
+    b"<A",
+    b"<STYLE",
+    b"<TITLE",
+    b"<B",
+    b"<BODY",
+    b"<BR",
+    b"<P",
+    b"<!--",
+]
+
+# Bytes whose presence marks data as binary (WHATWG "binary data byte").
+_BINARY_BYTES = frozenset(
+    list(range(0x00, 0x09)) + [0x0B] + list(range(0x0E, 0x1B)) + list(range(0x1C, 0x20))
+)
+
+
+def _masked_riff(data: bytes) -> str | None:
+    if data[:4] == b"RIFF":
+        if data[8:14] == b"WEBPVP":
+            return "image/webp"
+        if data[8:12] == b"WAVE":
+            return "audio/wave"
+        if data[8:12] == b"AVI ":
+            return "video/avi"
+    return None
+
+
+def detect_content_type(body: bytes | None) -> str:
+    """Sniff one body. Mirrors Go http.DetectContentType output."""
+    if body is None:
+        body = b""
+    data = bytes(body[:_SNIFF_LEN])
+
+    # HTML / XML sniffers skip leading whitespace.
+    trimmed = data.lstrip(_WS)
+    upper = trimmed.upper()
+    for tag in _HTML_TAGS:
+        if upper.startswith(tag):
+            rest = trimmed[len(tag) :]
+            if tag == b"<!--" or (rest[:1] in (b" ", b">")):
+                return "text/html; charset=utf-8"
+    if trimmed.startswith(b"<?xml"):
+        return "text/xml; charset=utf-8"
+
+    for sig, mime in _EXACT:
+        if data.startswith(sig):
+            return mime
+    riff = _masked_riff(data)
+    if riff:
+        return riff
+    # mp4: ftyp box at offset 4.
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "video/mp4"
+
+    if not any(b in _BINARY_BYTES for b in data):
+        return "text/plain; charset=utf-8"
+    return "application/octet-stream"
+
+
+def detect_series(bodies: pd.Series) -> pd.Series:
+    """Vectorized form for use inside Arrow pandas UDFs."""
+    return bodies.map(detect_content_type)

@@ -1,0 +1,62 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Scale posture (SURVEY.md §4.3): AQE on with skew-join handling,
+Arrow-based pandas UDF transfer on, modest Arrow batch sizes because
+the ``html`` column carries fat binaries (reference caps pages at
+20 MB — /root/reference/main.go:20), and runtime bloom-filter join
+pushdown enabled so in-round semi/anti joins get a bloom pre-filter
+for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Reference design envelope: 20 MB per-page cap (main.go:20).
+MAX_FILESIZE = 20_000_000
+
+DEFAULT_CONFS: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # html bodies are fat; keep Arrow batches small enough that a
+    # batch of near-cap pages stays well under executor memory.
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "notjusthtml-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or local[*]).
+    ``shuffle_partitions`` defaults to the parallelism level so that
+    small-scale tests don't pay 200-partition scheduling overhead;
+    on a real cluster this is sized to ~2-3x total cores.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        try:
+            shuffle_partitions = max(int(cpus), 8)
+        except ValueError:
+            shuffle_partitions = 32
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in DEFAULT_CONFS.items():
+        builder = builder.config(k, v)
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
