@@ -1,0 +1,210 @@
+"""Relational building blocks of a crawl round (SURVEY.md §2).
+
+Each function is a pure DataFrame→DataFrame transformation; the round
+driver (plans/rounds.py) composes them. Everything here is built-in
+Catalyst operators — the only Python in the round is the extraction
+kernels (extract/udfs.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..session import MAX_FILESIZE
+
+# Reference constants (crawling.go:18-27, :51-53, :110; main.go).
+PRIORITY_SEED = 90
+PRIORITY_IMAGE = 90
+PRIORITY_PROMOTED = 80
+RATING_PROMOTE_THRESHOLD = 20.0
+FLAG_WEIGHT = 2  # flagPriorityVsKeywordVisibility, crawling.go:110
+
+
+# ---------------------------------------------------------------------------
+# S1/S2 — config scans
+# ---------------------------------------------------------------------------
+def load_seeds(spark: SparkSession, seeds_path: str) -> DataFrame:
+    """Seed list (crawling.go:153-175): one URL per line, priority 90."""
+    return (
+        spark.read.text(seeds_path)
+        .select(F.trim("value").alias("url_norm"))
+        .filter(F.length("url_norm") > 0)
+    )
+
+
+def load_flagged_words(spark: SparkSession, csv_path: str) -> DataFrame:
+    """flaggedWords.csv (crawling.go:129-151): lowercased word, int prio."""
+    return (
+        spark.read.csv(csv_path, schema="word string, priority int")
+        .select(F.lower("word").alias("word"), "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/O1/O2 — frontier drain: priority-bucket-major order with a
+# deterministic xxhash64 tie-break (replaces Redis SPop randomness,
+# SURVEY.md §3.4) and a per-host politeness cap (north_rule; absent in
+# the reference).
+# ---------------------------------------------------------------------------
+def drain_frontier(
+    frontier: DataFrame,
+    round_budget: int | None,
+    per_host_budget: int | None,
+) -> DataFrame:
+    """Select this round's fetch batch. Rows not selected stay queued.
+
+    First collapses duplicate urls to max-priority (Redis SETs dedup
+    within a bucket; across buckets the reference would fetch twice —
+    we take the deterministic max-priority linearization, SURVEY §2.4
+    A6; duplicates only arise for rediscovered seeds)."""
+    from pyspark.sql.window import Window
+
+    batch = frontier.groupBy("url_norm").agg(
+        F.max("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+        F.min("round_added").alias("round_added"),
+        F.max("host").alias("host"),
+        F.max("url_hash").alias("url_hash"),
+    )
+    if per_host_budget is not None:
+        w_host = Window.partitionBy("host").orderBy(
+            F.desc("priority"), F.asc("url_hash")
+        )
+        batch = (
+            batch.withColumn("_hr", F.row_number().over(w_host))
+            .filter(F.col("_hr") <= per_host_budget)
+            .drop("_hr")
+        )
+    if round_budget is not None:
+        # Global top-k: single-partition window is fine because the
+        # per-host cap has already bounded the candidate count to
+        # (#hosts × per_host_budget); at cluster scale use a two-phase
+        # top-k (per-partition limit then global) — Catalyst's
+        # TakeOrderedAndProject does exactly this for sort+limit, so
+        # prefer orderBy+limit when no host cap is set.
+        batch = batch.orderBy(F.desc("priority"), F.asc("url_hash")).limit(round_budget)
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# J6 — the "fetch": frontier batch ⋈ pages corpus. The batch is small
+# relative to the corpus → broadcast it so the corpus is never shuffled
+# and dynamic partition pruning can prune bucket directories.
+# ---------------------------------------------------------------------------
+def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
+    """Left join so unfetchable URLs surface as error rows (html=null)."""
+    return F.broadcast(batch.select("url_norm", "host", "priority", "depth", "url_hash")).join(
+        pages, batch["url_norm"] == pages["url"], "left"
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P4 gates (html.go:61-64, :82-85) — split ok/error sides (E2).
+# ---------------------------------------------------------------------------
+def gate_fetched(fetched: DataFrame) -> DataFrame:
+    """Adds a gate column; callers filter on it. html NULL = fetch miss."""
+    return fetched.withColumn(
+        "gate",
+        F.when(F.col("html").isNull(), F.lit("miss"))
+        .when(F.length("html") >= F.lit(MAX_FILESIZE), F.lit("too_big"))
+        .when(F.length("html") == 0, F.lit("empty"))
+        .otherwise(F.lit("ok")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P5/P6 — html-only gate before link extraction (html.go:162-171).
+# ---------------------------------------------------------------------------
+def html_gate(df: DataFrame, url_col: str = "url_norm") -> DataFrame:
+    return df.filter(
+        F.col("content_type").startswith("text/html")
+        & ~F.lower(F.col(url_col)).rlike(r"\.(jpeg|png|jpg)$")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5 + A1 — link rating: keyword × flagged-word containment theta-join
+# (broadcast nested loop — the flagged list is tiny) then SUM
+# (crawling.go:109-123). Keywords with no match contribute 0.
+# ---------------------------------------------------------------------------
+def link_rating(keywords: DataFrame, flagged: DataFrame) -> DataFrame:
+    """keywords(link_id, visibility, text) × flagged(word, priority) →
+    (link_id, rating). Containment is case-sensitive over the cleaned
+    keyword text against the lowercased word — faithful to
+    strings.Contains at crawling.go:116."""
+    matched = keywords.join(
+        F.broadcast(flagged), F.expr("contains(text, word)"), "inner"
+    ).groupBy("link_id").agg(
+        F.sum(
+            F.col("visibility").cast("double")
+            * F.lit(float(FLAG_WEIGHT))
+            * F.col("priority").cast("double")
+        ).alias("rating")
+    )
+    return matched
+
+
+# ---------------------------------------------------------------------------
+# P1/P2 + override — link priority (crawling.go:18-27, :48-53).
+# ---------------------------------------------------------------------------
+def with_link_priority(links: DataFrame, rating_col: str = "rating") -> DataFrame:
+    base = F.when(
+        F.lower("dest_url").endswith(".png")
+        | F.lower("dest_url").endswith(".jpg")
+        | F.lower("dest_url").endswith(".jpeg"),
+        F.lit(PRIORITY_IMAGE),
+    ).otherwise(F.lit(0))
+    return links.withColumn("priority", base).withColumn(
+        "priority",
+        F.when(
+            (F.col(rating_col) > F.lit(RATING_PROMOTE_THRESHOLD))
+            & (F.col("priority") < F.lit(PRIORITY_IMAGE)),
+            F.lit(PRIORITY_PROMOTED),
+        ).otherwise(F.col("priority")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5/A6 — within-round candidate collapse: one row per url_norm at max
+# priority (the deterministic linearization of the reference's
+# first-TestOrAdd-wins race, SURVEY.md §2.4 A6).
+# ---------------------------------------------------------------------------
+def collapse_candidates(cands: DataFrame) -> DataFrame:
+    return cands.groupBy("url_norm").agg(
+        F.max("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robots / politeness filter (north_rule; no reference counterpart).
+# Blocked candidates never enter the seen set (they may become
+# allowed later when rules change).
+# ---------------------------------------------------------------------------
+def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
+    """cands must carry url_norm + host. Returns allowed rows only."""
+    path = F.expr("parse_url(url_norm, 'PATH')")
+    joined = cands.withColumn("_path", path).join(
+        F.broadcast(robots.select("host", "allow_prefixes", "disallow_prefixes")),
+        "host",
+        "left",
+    )
+    blocked = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: F.col("_path").startswith(p),
+    ) & ~F.exists(
+        F.coalesce(F.col("allow_prefixes"), F.array()),
+        lambda p: F.col("_path").startswith(p),
+    )
+    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
+        "_path", "allow_prefixes", "disallow_prefixes"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2/E1 — the load-bearing seen-set anti-join.
+# ---------------------------------------------------------------------------
+def seen_anti_join(cands: DataFrame, seen: DataFrame) -> DataFrame:
+    """candidates ∖ seen on url_norm (exact ground truth)."""
+    return cands.join(seen.select("url_norm"), "url_norm", "left_anti")

@@ -1,0 +1,443 @@
+"""The batch-BFS round driver (SURVEY.md §3.1 — the Spark shape).
+
+One crawl round = one DAG:
+
+  frontier ─drain(W1/W2)→ batch ─⋈ pages(J6, broadcast+DPP)→ gates(P3/P4)
+    → sha1/sha512/sniff(F8/F9/U4) → contents/blob sinks (S7/S8, A4/J7)
+    → media branch (P7 → U5/U6 → sinks S11, errors E2)
+    → html gate (P5/P6) → U1 explode → keywords sink (S10)
+    → rating (J5+A1) → priority (P1/P2+override) → link_rels sink (S9)
+    → candidates: collapse (A5/A6) → robots/politeness filter
+    → seen check (J2: bloom pre-filter U8 + exact anti-join)
+    → frontier_{r+1} / seen delta / bloom shards / metrics → atomic commit
+
+The reference's continuous goroutine pipeline (/root/reference/
+main.go:59-90, html.go:30-188) maps onto this loop; its Redis SPop /
+SAdd become the drain / frontier-append, its Bloom TestOrAdd becomes
+bloom-probe + exact anti-join (the TestOrAdd-before-priority-drop
+order quirk at crawling.go:85-91 is preserved: priority-0 candidates
+still enter the seen set).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import schemas
+from ..extract.udfs import extract_links_udf, sniff_udf
+from ..media.udfs import exif_udf, phash_udf
+from ..operators import bloom as bloom_ops
+from ..operators import crawl_ops as ops
+from ..session import MAX_FILESIZE
+from .state import CrawlState
+
+
+@dataclass
+class CrawlConfig:
+    state_dir: str
+    round_budget: int | None = None
+    per_host_budget: int | None = 64
+    use_robots: bool = True
+    bloom_prefilter: bool = True
+    n_buckets: int = 32
+    shard_bits: int = 1 << 20  # per-shard bloom bits (scale: size per bucket)
+    salt: int = 8  # hot-host salting fan-out before extraction
+    media: bool = True
+    compact_seen_every: int = 8
+    lineage_metrics: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        pages_path: str,
+        seeds_path: str,
+        flagged_path: str,
+        robots_path: str | None,
+        cfg: CrawlConfig,
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.state = CrawlState(cfg.state_dir)
+        self.pages = spark.read.schema(schemas.PAGES).parquet(pages_path)
+        self.seeds_path = seeds_path
+        self.flagged = ops.load_flagged_words(spark, flagged_path)
+        self.robots = (
+            spark.read.schema(schemas.ROBOTS).parquet(robots_path)
+            if (robots_path and cfg.use_robots)
+            else None
+        )
+
+    # ------------------------------------------------------------------
+    def bootstrap(self) -> None:
+        """Round 0: frontier from seeds at priority 90; empty seen/bloom.
+
+        Seeds do NOT enter the seen set (addStartSites never touches
+        the bloom — crawling.go:153-175): a seed rediscovered as a
+        link is re-enqueued and re-fetched once, faithfully.
+        """
+        r = 0
+        seeds = ops.load_seeds(self.spark, self.seeds_path)
+        frontier = (
+            seeds.withColumn("host", F.expr("parse_url(url_norm, 'HOST')"))
+            .withColumn("priority", F.lit(ops.PRIORITY_SEED))
+            .withColumn("depth", F.lit(0))
+            .withColumn("round_added", F.lit(0))
+            .withColumn("url_hash", F.xxhash64("url_norm"))
+        )
+        self._write(frontier, r, "frontier")
+        empty_seen = self.spark.createDataFrame([], schemas.SEEN)
+        self._write(empty_seen, r, "seen_full")
+        if self.cfg.bloom_prefilter:
+            shards = bloom_ops.build_shards(
+                seeds.limit(0), self.cfg.n_buckets, self.cfg.shard_bits
+            )
+            self._write(shards, r, "bloom")
+        self.state.commit_round(
+            r,
+            {
+                "seen_parts": [f"r{r:05d}/seen_full"],
+                "frontier": f"r{r:05d}/frontier",
+                "bloom": f"r{r:05d}/bloom" if self.cfg.bloom_prefilter else None,
+                "pages_fetched": 0,
+            },
+        )
+
+    # ------------------------------------------------------------------
+    def _write(self, df: DataFrame, r: int, name: str) -> str:
+        path = self.state.table_path(r, name)
+        df.write.mode("overwrite").parquet(path)
+        return path
+
+    def _read_seen(self, parts: list[str]) -> DataFrame:
+        paths = [os.path.join(self.state.root, "rounds", p) for p in parts]
+        return self.spark.read.schema(schemas.SEEN).parquet(*paths)
+
+    def _lineage(self, dfs: dict[str, DataFrame], r: int) -> DataFrame:
+        """Per-partition lineage rows (north_rule) in one unioned job."""
+        parts = []
+        for stage, df in dfs.items():
+            parts.append(
+                df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+                    F.count(F.lit(1)).alias("rows_out")
+                )
+                .withColumn("round", F.lit(r))
+                .withColumn("stage", F.lit(stage))
+                .withColumn("bytes", F.lit(None).cast("long"))
+                .select("round", "stage", "partition_id", "rows_out", "bytes")
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ------------------------------------------------------------------
+    def run_round(self, r: int) -> dict:
+        t0 = time.monotonic()
+        cfg = self.cfg
+        prev = self.state.manifest(r - 1)
+        assert prev is not None, f"round {r - 1} not committed"
+        frontier = self.spark.read.schema(schemas.FRONTIER).parquet(
+            os.path.join(self.state.root, "rounds", prev["stats"]["frontier"])
+        )
+        seen_parts: list[str] = prev["stats"]["seen_parts"]
+        seen = self._read_seen(seen_parts)
+
+        # ---- W1/W2: drain --------------------------------------------
+        batch = ops.drain_frontier(frontier, cfg.round_budget, cfg.per_host_budget).persist()
+        n_batch = batch.count()
+        if n_batch == 0:
+            batch.unpersist()
+            return {"done": True, "round": r, "pages_fetched": 0}
+        rest = frontier.join(batch.select("url_norm"), "url_norm", "left_anti")
+
+        # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
+        fetched = ops.fetch_join(batch, self.pages)
+        gated = ops.gate_fetched(fetched).repartition(
+            self.spark.sparkContext.defaultParallelism,
+            F.xxhash64("host"),
+            F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
+        )
+        ok = (
+            gated.filter(F.col("gate") == "ok")
+            .withColumn("content_type", sniff_udf("html"))
+            .withColumn("sha1", F.unhex(F.sha1("html")))
+            .withColumn("sha512", F.unhex(F.sha2("html", 512)))
+            .withColumn("size", F.length("html").cast("int"))
+            .withColumn("site_id", F.xxhash64("url_norm"))
+            .withColumn("content_id", F.xxhash64("url_norm", F.lit(r)))
+            .withColumn("time_found", F.unix_micros("warc_ts"))
+            .persist()
+        )
+
+        err_gate = gated.filter(F.col("gate") != "ok").select(
+            F.lit(r).alias("round"),
+            F.col("url_norm").alias("url"),
+            F.when(F.col("gate") == "miss", schemas.ERROR_CODES["ErrorFetchMissing"])
+            .when(F.col("gate") == "too_big", schemas.ERROR_CODES["ErrorResponseToBig"])
+            .otherwise(schemas.ERROR_CODES["ErrorBodyLenZero"])
+            .cast("int")
+            .alias("error_code"),
+            F.col("gate").alias("error_text"),
+        )
+
+        # ---- S8 contents / S7 blobs (A4+J7) ---------------------------
+        contents = ok.select(
+            F.lit(r).alias("round"),
+            F.col("url_norm").alias("url"),
+            "site_id",
+            F.xxhash64("content_type").alias("content_type_id"),
+            "size",
+            "sha512",
+            "sha1",
+            "time_found",
+        )
+        self._write(contents, r, "contents")
+
+        blob_glob = self.state.sink_glob("content_blobs")
+        new_blobs = ok.select("sha1", F.col("html").alias("content")).dropDuplicates(["sha1"])
+        if r > 1:
+            existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
+            new_blobs = new_blobs.join(existing.select("sha1"), "sha1", "left_anti")
+        self._write(new_blobs, r, "content_blobs")
+
+        # ---- P7 media branch → U5/U6 ----------------------------------
+        err_media = None
+        if cfg.media:
+            imgs = ok.filter(F.col("content_type").isin("image/png", "image/jpeg")).select(
+                "url_norm", "content_id", "html", "content_type"
+            )
+            hashed = imgs.withColumn("ph", phash_udf("html", "content_type")).withColumn(
+                "ex", exif_udf("html")
+            ).select("url_norm", "content_id", "ph", "ex").persist()
+            phashes = hashed.filter(F.col("ph.error").isNull()).select(
+                "content_id",
+                F.col("ph.ahash").alias("ahash"),
+                F.col("ph.dhash").alias("dhash"),
+                F.col("ph.phash").alias("phash"),
+            )
+            self._write(phashes, r, "perceptual_hashes")
+            exifs = hashed.filter(F.col("ex.present")).select(
+                "content_id",
+                F.col("ex.camera").alias("camera"),
+                F.col("ex.ts").alias("ts"),
+                F.col("ex.lat").alias("lat"),
+                F.col("ex.long").alias("long"),
+            )
+            self._write(exifs, r, "exif_info")
+            err_media = hashed.filter(F.col("ph.error").isNotNull()).select(
+                F.lit(r).alias("round"),
+                F.col("url_norm").alias("url"),
+                F.lit(schemas.ERROR_CODES["ErrorPerceptualHash"]).cast("int").alias("error_code"),
+                F.col("ph.error").alias("error_text"),
+            )
+
+        # ---- P5/P6 + U1: link extraction ------------------------------
+        htmlable = ops.html_gate(ok).select("url_norm", "depth", "time_found", "html")
+        links = (
+            htmlable.select(
+                F.col("url_norm").alias("origin_url"),
+                "depth",
+                "time_found",
+                F.posexplode_outer(extract_links_udf("url_norm", "html")).alias("pos", "lnk"),
+            )
+            .filter(F.col("lnk").isNotNull())
+            .select(
+                "origin_url",
+                "depth",
+                "time_found",
+                "pos",
+                F.col("lnk.dest_url").alias("dest_url"),
+                F.col("lnk.keywords").alias("keywords"),
+            )
+            .withColumn(
+                "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
+            )
+            .persist()
+        )
+
+        keywords = links.select(
+            "link_id", F.explode_outer("keywords").alias("kw")
+        ).filter(F.col("kw").isNotNull()).select(
+            "link_id",
+            F.col("kw.visibility").alias("visibility"),
+            F.col("kw.text").alias("text"),
+        )
+        self._write(keywords, r, "link_keywords")
+
+        ratings = ops.link_rating(keywords, self.flagged)
+        rated = links.join(ratings, "link_id", "left").withColumn(
+            "rating", F.coalesce(F.col("rating"), F.lit(0.0))
+        )
+        rated = ops.with_link_priority(rated).persist()
+
+        link_rels = rated.select(
+            F.lit(r).alias("round"),
+            "link_id",
+            F.xxhash64("origin_url").alias("origin_id"),
+            F.xxhash64("dest_url").alias("dest_id"),
+            "origin_url",
+            "dest_url",
+            "rating",
+            "time_found",
+        )
+        self._write(link_rels, r, "link_rels")
+
+        # ---- candidates: A5/A6 collapse → robots → J2 seen check ------
+        cands = rated.select(
+            F.col("dest_url").alias("url_norm"),
+            "priority",
+            (F.col("depth") + 1).alias("depth"),
+        )
+        cands = ops.collapse_candidates(cands).withColumn(
+            "host", F.expr("parse_url(url_norm, 'HOST')")
+        )
+        if self.robots is not None:
+            cands = ops.robots_filter(cands, self.robots)
+
+        if cfg.bloom_prefilter and prev["stats"].get("bloom"):
+            shards = self.spark.read.schema(schemas.BLOOM_SHARDS).parquet(
+                os.path.join(self.state.root, "rounds", prev["stats"]["bloom"])
+            )
+            probed = bloom_ops.probe_shards(
+                cands, shards, cfg.n_buckets, cfg.shard_bits
+            ).persist()
+            negatives = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
+            positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
+            # exact check for bloom-positives only: two broadcast joins,
+            # the seen table is scanned but never shuffled.
+            seen_matches = seen.select("url_norm").join(
+                F.broadcast(positives.select("url_norm")), "url_norm", "left_semi"
+            )
+            new_from_pos = positives.join(
+                F.broadcast(seen_matches), "url_norm", "left_anti"
+            )
+            new = negatives.unionByName(new_from_pos).persist()
+        else:
+            new = ops.seen_anti_join(cands, seen).persist()
+
+        seen_delta = new.select(
+            "url_norm", F.xxhash64("url_norm").alias("url_hash"), F.lit(r).alias("round_seen")
+        )
+
+        # compaction: every N rounds rewrite one merged seen table
+        if r % cfg.compact_seen_every == 0:
+            merged = seen.unionByName(
+                new.select(
+                    "url_norm",
+                    F.xxhash64("url_norm").alias("url_hash"),
+                    F.lit(r).alias("round_seen"),
+                )
+            )
+            self._write(
+                merged.repartition(cfg.n_buckets, F.pmod("url_hash", F.lit(cfg.n_buckets))),
+                r,
+                "seen_full",
+            )
+            new_seen_parts = [f"r{r:05d}/seen_full"]
+        else:
+            self._write(seen_delta, r, "seen_delta")
+            new_seen_parts = seen_parts + [f"r{r:05d}/seen_delta"]
+
+        new_frontier = new.filter(F.col("priority") > 0).select(
+            "url_norm",
+            "host",
+            "priority",
+            "depth",
+            F.lit(r).alias("round_added"),
+            F.xxhash64("url_norm").alias("url_hash"),
+        )
+        frontier_next = rest.unionByName(new_frontier)
+        self._write(frontier_next, r, "frontier")
+
+        # ---- U8: bloom shard merge ------------------------------------
+        bloom_rel = None
+        if cfg.bloom_prefilter:
+            old_shards = self.spark.read.schema(schemas.BLOOM_SHARDS).parquet(
+                os.path.join(self.state.root, "rounds", prev["stats"]["bloom"])
+            )
+            shards2 = bloom_ops.build_shards(
+                new.select("url_norm"), cfg.n_buckets, cfg.shard_bits, old_shards
+            )
+            self._write(shards2, r, "bloom")
+            bloom_rel = f"r{r:05d}/bloom"
+
+        # ---- errors / metrics / stats ----------------------------------
+        errors = err_gate
+        if err_media is not None:
+            errors = errors.unionByName(err_media)
+        self._write(errors, r, "errors")
+
+        pages_fetched = ok.count()
+        links_found = rated.count()
+        n_new_frontier = new.filter(F.col("priority") > 0).count()
+        n_errors = errors.count()
+
+        if cfg.lineage_metrics:
+            lineage = self._lineage(
+                {"batch": batch, "fetched_ok": ok, "links": rated, "new_seen": new}, r
+            )
+            self._write(lineage, r, "metrics")
+
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        stats = {
+            "frontier": f"r{r:05d}/frontier",
+            "seen_parts": new_seen_parts,
+            "bloom": bloom_rel,
+            "pages_fetched": pages_fetched,
+            "links_found": links_found,
+            "new_frontier": n_new_frontier,
+            "errors": n_errors,
+            "batch": n_batch,
+            "wall_ms": wall_ms,
+        }
+        round_stats = self.spark.createDataFrame(
+            [
+                (
+                    r,
+                    pages_fetched,
+                    links_found,
+                    n_new_frontier,
+                    n_errors,
+                    wall_ms,
+                )
+            ],
+            schemas.ROUND_STATS,
+        )
+        self._write(round_stats, r, "round_stats")
+        self.state.commit_round(r, stats)
+
+        for df in (batch, ok, links, rated, new):
+            df.unpersist()
+        stats["done"] = False
+        stats["round"] = r
+        return stats
+
+    # ------------------------------------------------------------------
+    def run(self, max_rounds: int = 100, resume: bool = True) -> list[dict]:
+        """Drive rounds until the frontier drains (O3) or max_rounds.
+
+        Resume: uncommitted round dirs are dropped; we continue from
+        the latest manifest — no re-fetch, no seen-set divergence.
+        """
+        self.state.drop_uncommitted()
+        latest = self.state.latest_committed_round()
+        if latest is None or not resume:
+            self.bootstrap()
+            latest = 0
+        all_stats = []
+        r = latest + 1
+        while r <= latest + max_rounds:
+            stats = self.run_round(r)
+            all_stats.append(stats)
+            if stats.get("done"):
+                break
+            r += 1
+        return all_stats

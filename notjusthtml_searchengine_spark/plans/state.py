@@ -1,0 +1,95 @@
+"""Snapshot/checkpoint layer (SURVEY.md §2.9, §4.2).
+
+The reference recovers by rescanning Postgres into a fresh Bloom
+filter (main.go:100-111) and loses in-flight channel state. This
+engine checkpoints the full round state atomically: each round R
+writes its outputs under ``<root>/rounds/r{R:05d}/`` and finally an
+atomic ``manifest.json`` (tmp + rename). A round directory without a
+manifest is garbage from a killed run and is ignored on resume —
+resume = highest manifested round; no re-fetch, no seen-set
+divergence (strictly stronger than the reference).
+
+This is the plain-parquet stand-in for Iceberg snapshots (no Iceberg
+jars in the sandbox); the interface is format-agnostic so an Iceberg
+implementation can slot in behind it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+
+
+class CrawlState:
+    FRONTIER = "frontier"
+    SEEN = "seen"
+    BLOOM = "bloom"
+    SINKS = (
+        "contents",
+        "content_blobs",
+        "link_rels",
+        "link_keywords",
+        "errors",
+        "metrics",
+        "round_stats",
+        "perceptual_hashes",
+        "exif_info",
+    )
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "rounds"), exist_ok=True)
+
+    # -- layout ------------------------------------------------------
+    def round_dir(self, r: int) -> str:
+        return os.path.join(self.root, "rounds", f"r{r:05d}")
+
+    def table_path(self, r: int, name: str) -> str:
+        return os.path.join(self.round_dir(r), name)
+
+    def manifest_path(self, r: int) -> str:
+        return os.path.join(self.round_dir(r), "manifest.json")
+
+    # -- commit / recovery -------------------------------------------
+    def commit_round(self, r: int, stats: dict) -> None:
+        """Atomic commit: manifest written via tmp+rename, last."""
+        payload = {"round": r, "stats": stats, "tables": sorted(os.listdir(self.round_dir(r)))}
+        fd, tmp = tempfile.mkstemp(dir=self.round_dir(r), suffix=".manifest.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f, indent=1)
+        os.replace(tmp, self.manifest_path(r))
+
+    def manifest(self, r: int) -> dict | None:
+        p = self.manifest_path(r)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return json.load(f)
+
+    def latest_committed_round(self) -> int | None:
+        rounds_dir = os.path.join(self.root, "rounds")
+        best = None
+        for name in os.listdir(rounds_dir):
+            if name.startswith("r") and name[1:].isdigit():
+                r = int(name[1:])
+                if self.manifest(r) is not None and (best is None or r > best):
+                    best = r
+        return best
+
+    def drop_uncommitted(self) -> list[int]:
+        """Remove round dirs that have no manifest (killed mid-round)."""
+        dropped = []
+        rounds_dir = os.path.join(self.root, "rounds")
+        for name in sorted(os.listdir(rounds_dir)):
+            if name.startswith("r") and name[1:].isdigit():
+                r = int(name[1:])
+                if self.manifest(r) is None:
+                    shutil.rmtree(self.round_dir(r))
+                    dropped.append(r)
+        return dropped
+
+    def sink_glob(self, name: str) -> str:
+        """Read-path glob for a sink across all rounds."""
+        return os.path.join(self.root, "rounds", "r*", name)

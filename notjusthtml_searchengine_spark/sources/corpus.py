@@ -417,8 +417,15 @@ def build_corpus(n_pages: int = 60, seed: int = 42, n_hosts: int | None = None) 
     add_page(empty_url, b"", ct="text/plain; charset=utf-8")
     add_page(plain_url, "just plain text, no tags — spark data".encode(), ct="text/plain; charset=utf-8")
     add_page(bin_url, bytes(range(32)) * 8, ct="application/octet-stream")
-    add_page(blocked_url, b"<html><body><h1>robots should have blocked this</h1></body></html>",
-             ct="text/html; charset=utf-8")
+    blocked_root = El(
+        "html", children=[El("body", children=[El("h1", children=["robots should have blocked this"])])]
+    )
+    add_page(
+        blocked_url,
+        render(blocked_root).encode(),
+        text=golden_text(blocked_root),
+        ct="text/html; charset=utf-8",
+    )
     # NOTE: missing_url gets NO page row → fetch-miss error path.
 
     seeds = [_page_url(page_host[0], 0), _page_url(page_host[min(1, n_pages - 1)], min(1, n_pages - 1))]

@@ -1,0 +1,25 @@
+from __future__ import annotations
+
+import pytest
+
+from notjusthtml_searchengine_spark.session import get_spark
+from notjusthtml_searchengine_spark.sources.corpus import build_corpus, write_corpus
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    return build_corpus(n_pages=40, seed=42)
+
+
+@pytest.fixture(scope="session")
+def corpus_dir(corpus, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus")
+    write_corpus(corpus, str(out))
+    return str(out)

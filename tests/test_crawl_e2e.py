@@ -1,0 +1,227 @@
+"""End-to-end crawl equivalence: CrawlEngine vs the pure-Python
+reference simulator (SURVEY.md §5.2.3), plus resume semantics
+(§5.2.4) over the same deterministic corpus.
+
+Asserts per-round fetched-URL sets, the final seen set, link
+relations with ratings, contents rows, and gate errors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from notjusthtml_searchengine_spark import schemas
+from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
+from notjusthtml_searchengine_spark.plans.state import CrawlState
+from tests.sim import Simulator
+
+MAX_ROUNDS = 12
+
+
+def _mk_engine(spark, corpus_dir, state_dir, **cfg_kw):
+    cfg = CrawlConfig(state_dir=str(state_dir), **cfg_kw)
+    return CrawlEngine(
+        spark,
+        pages_path=os.path.join(corpus_dir, "pages.parquet"),
+        seeds_path=os.path.join(corpus_dir, "seeds.txt"),
+        flagged_path=os.path.join(corpus_dir, "flaggedWords.csv"),
+        robots_path=os.path.join(corpus_dir, "robots.parquet"),
+        cfg=cfg,
+    )
+
+
+def _read_sink(spark, state_dir, name, schema):
+    return spark.read.schema(schema).parquet(
+        os.path.join(str(state_dir), "rounds", "r*", name)
+    )
+
+
+def _fetched_per_round(spark, state_dir):
+    state = CrawlState(str(state_dir))
+    out = []
+    r = 1
+    while state.manifest(r) is not None:
+        mdir = state.table_path(r, "round_fetchset")
+        if os.path.exists(mdir):
+            with open(os.path.join(mdir)) as f:
+                out.append(set(json.load(f)))
+        r += 1
+    return out
+
+
+@pytest.fixture(scope="module", params=["bloom", "exact"])
+def run_pair(request, spark, corpus, corpus_dir, tmp_path_factory):
+    state_dir = tmp_path_factory.mktemp(f"state_{request.param}")
+    eng = _mk_engine(
+        spark,
+        corpus_dir,
+        state_dir,
+        per_host_budget=5,
+        round_budget=None,
+        bloom_prefilter=(request.param == "bloom"),
+        n_buckets=8,
+        shard_bits=1 << 16,
+        compact_seen_every=3,
+    )
+    stats = eng.run(max_rounds=MAX_ROUNDS)
+    sim = Simulator(corpus, per_host_budget=5, round_budget=None, use_robots=True)
+    sim_res = sim.run(max_rounds=MAX_ROUNDS)
+    return eng, stats, sim_res, state_dir
+
+
+def test_rounds_terminate(run_pair):
+    _, stats, sim_res, _ = run_pair
+    # engine ran as many fetch rounds as the simulator
+    fetch_rounds = [s for s in stats if not s.get("done")]
+    assert len(fetch_rounds) == len(sim_res.fetched_per_round)
+
+
+def test_per_round_fetched_sets_match(spark, run_pair):
+    eng, stats, sim_res, state_dir = run_pair
+    for s, sim_set in zip(stats, sim_res.fetched_per_round):
+        r = s["round"]
+        batch_urls = {
+            row["url"]
+            for row in spark.read.schema(schemas.CONTENTS)
+            .parquet(os.path.join(str(state_dir), "rounds", f"r{r:05d}", "contents"))
+            .select("url")
+            .collect()
+        }
+        err_urls = {
+            row["url"]
+            for row in spark.read.schema(schemas.ERRORS)
+            .parquet(os.path.join(str(state_dir), "rounds", f"r{r:05d}", "errors"))
+            .filter(F.col("error_code") != schemas.ERROR_CODES["ErrorPerceptualHash"])
+            .select("url")
+            .collect()
+        }
+        assert batch_urls | err_urls == sim_set, f"round {r}"
+
+
+def test_seen_set_matches(spark, run_pair):
+    eng, stats, sim_res, state_dir = run_pair
+    last = max(s["round"] for s in stats if not s.get("done"))
+    manifest = eng.state.manifest(last)
+    seen = eng._read_seen(manifest["stats"]["seen_parts"])
+    eng_seen = {r["url_norm"] for r in seen.select("url_norm").collect()}
+    assert eng_seen == sim_res.seen
+
+
+def test_link_rels_and_ratings_match(spark, run_pair, corpus):
+    _, _, sim_res, state_dir = run_pair
+    rels = _read_sink(spark, state_dir, "link_rels", schemas.LINK_RELS)
+    eng_rels = {
+        (r["origin_url"], r["dest_url"], r["rating"])
+        for r in rels.select("origin_url", "dest_url", "rating").collect()
+    }
+    assert eng_rels == sim_res.link_rels
+
+
+def test_contents_match(spark, run_pair):
+    _, _, sim_res, state_dir = run_pair
+    contents = _read_sink(spark, state_dir, "contents", schemas.CONTENTS)
+    eng_contents = {
+        (r["url"], r["round"]) for r in contents.select("url", "round").collect()
+    }
+    assert eng_contents == sim_res.contents
+
+
+def test_gate_errors_match(spark, run_pair):
+    _, _, sim_res, state_dir = run_pair
+    errs = _read_sink(spark, state_dir, "errors", schemas.ERRORS)
+    kind = {1: None, 3: "too_big", 5: "empty", 10: "miss"}
+    eng_errs = {
+        (r["url"], kind.get(r["error_code"]))
+        for r in errs.collect()
+        if r["error_code"] in (3, 5, 10)
+    }
+    assert eng_errs == sim_res.errors
+
+
+def test_blob_dedup(spark, run_pair):
+    _, _, _, state_dir = run_pair
+    blobs = _read_sink(spark, state_dir, "content_blobs", schemas.CONTENT_BLOBS)
+    hashes = [bytes(r["sha1"]) for r in blobs.select("sha1").collect()]
+    assert len(hashes) == len(set(hashes)), "sha1 duplicated across blob sink"
+
+
+def test_robots_blocked_never_fetched(spark, run_pair, corpus):
+    _, _, _, state_dir = run_pair
+    contents = _read_sink(spark, state_dir, "contents", schemas.CONTENTS)
+    fetched = {r["url"] for r in contents.select("url").collect()}
+    assert not any("/blocked" in u for u in fetched)
+
+
+def test_media_sinks_populated(spark, run_pair):
+    _, _, _, state_dir = run_pair
+    ph = _read_sink(spark, state_dir, "perceptual_hashes", schemas.PERCEPTUAL_HASHES)
+    assert ph.count() > 0  # PNG images crawled and hashed
+    ex = _read_sink(spark, state_dir, "exif_info", schemas.EXIF_INFO)
+    assert ex.count() > 0  # JPEGs with EXIF crawled
+    errs = _read_sink(spark, state_dir, "errors", schemas.ERRORS)
+    # JPEG phash decode is stubbed → ErrorPerceptualHash rows exist
+    assert errs.filter(F.col("error_code") == 8).count() > 0
+
+
+def test_lineage_metrics_written(spark, run_pair):
+    _, stats, _, state_dir = run_pair
+    m = _read_sink(spark, state_dir, "metrics", schemas.METRICS)
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert {"batch", "fetched_ok", "links", "new_seen"} <= stages
+
+
+def test_resume_identical_to_uninterrupted(spark, corpus, corpus_dir, tmp_path_factory):
+    """Kill after round 2 (simulate an uncommitted round 3), resume,
+    and assert final state matches an uninterrupted run."""
+    full_dir = tmp_path_factory.mktemp("state_full")
+    eng_full = _mk_engine(spark, corpus_dir, full_dir, per_host_budget=5)
+    eng_full.run(max_rounds=MAX_ROUNDS)
+
+    part_dir = tmp_path_factory.mktemp("state_part")
+    eng_part = _mk_engine(spark, corpus_dir, part_dir, per_host_budget=5)
+    eng_part.state.drop_uncommitted()
+    eng_part.bootstrap()
+    eng_part.run_round(1)
+    eng_part.run_round(2)
+    # fake a killed round 3: directory exists, no manifest
+    os.makedirs(eng_part.state.round_dir(3), exist_ok=True)
+    with open(os.path.join(eng_part.state.round_dir(3), "junk.parquet"), "w") as f:
+        f.write("partial garbage")
+
+    eng_resume = _mk_engine(spark, corpus_dir, part_dir, per_host_budget=5)
+    eng_resume.run(max_rounds=MAX_ROUNDS)
+
+    for state_dir in (full_dir, part_dir):
+        pass
+    full_contents = {
+        (r["url"], r["round"])
+        for r in _read_sink(spark, full_dir, "contents", schemas.CONTENTS).collect()
+    }
+    part_contents = {
+        (r["url"], r["round"])
+        for r in _read_sink(spark, part_dir, "contents", schemas.CONTENTS).collect()
+    }
+    assert full_contents == part_contents
+    # no re-fetch: (url, round) unique per url within a run except the
+    # faithful seed-refetch quirk — compare multisets directly instead
+    last_full = CrawlState(str(full_dir)).latest_committed_round()
+    last_part = CrawlState(str(part_dir)).latest_committed_round()
+    assert last_full == last_part
+    seen_full = {
+        r["url_norm"]
+        for r in _mk_engine(spark, corpus_dir, full_dir)._read_seen(
+            CrawlState(str(full_dir)).manifest(last_full)["stats"]["seen_parts"]
+        ).collect()
+    }
+    seen_part = {
+        r["url_norm"]
+        for r in _mk_engine(spark, corpus_dir, part_dir)._read_seen(
+            CrawlState(str(part_dir)).manifest(last_part)["stats"]["seen_parts"]
+        ).collect()
+    }
+    assert seen_full == seen_part

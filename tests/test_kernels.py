@@ -1,0 +1,114 @@
+"""Kernels U1/U2/U4 + F8/F9 against spec-derived goldens.
+
+The corpus generator computes goldens from its structural page spec;
+the kernels re-derive them by parsing the rendered HTML — two
+independent paths (SURVEY.md §5.2.1). U2 is the input_hint's
+byte-identical invariant.
+"""
+
+import hashlib
+
+from notjusthtml_searchengine_spark.extract.kernels import (
+    extract_keywords,
+    extract_links,
+    visible_text,
+)
+from notjusthtml_searchengine_spark.extract.html_tree import parse_html
+from notjusthtml_searchengine_spark.functions.sniff import detect_content_type
+from notjusthtml_searchengine_spark.session import MAX_FILESIZE
+
+
+def _crawlable(page, golden):
+    return (
+        golden["content_type"].startswith("text/html")
+        and 0 < len(page["html"]) < MAX_FILESIZE
+    )
+
+
+def test_visible_text_byte_identical(corpus):
+    for p, g in zip(corpus.pages, corpus.golden):
+        if _crawlable(p, g):
+            assert visible_text(p["html"]) == p["text"], p["url"]
+
+
+def test_links_and_keywords_match_golden(corpus):
+    checked = 0
+    for p, g in zip(corpus.pages, corpus.golden):
+        if _crawlable(p, g):
+            assert extract_links(p["url"], p["html"]) == g["links"], p["url"]
+            checked += 1
+    assert checked > 10
+
+
+def test_content_type_matches_golden(corpus):
+    for p, g in zip(corpus.pages, corpus.golden):
+        assert detect_content_type(p["html"]) == g["content_type"], p["url"]
+
+
+def test_sha_golden(corpus):
+    for p, g in zip(corpus.pages, corpus.golden):
+        assert hashlib.sha1(p["html"]).digest() == g["sha1"]
+        assert hashlib.sha512(p["html"]).digest() == g["sha512"]
+
+
+# ---- pinned reference quirks (linkNodeParsing.go) ---------------------
+def test_dual_attr_node_emits_two_links():
+    html = b'<html><body><a href="http://a.example/x" src="http://a.example/y">t</a></body></html>'
+    links = extract_links("http://o.example/", html)
+    assert [l["dest_url"] for l in links] == ["http://a.example/x", "http://a.example/y"]
+    # same keywords on both
+    assert links[0]["keywords"] == links[1]["keywords"]
+
+
+def test_heading_multiplier_inherited():
+    html = b'<html><body><a href="/x"><h2>two <b>nested</b></h2> plain</a></body></html>'
+    links = extract_links("http://o.example/", html)
+    kws = links[0]["keywords"]
+    assert kws == [
+        {"visibility": 9, "text": "two "},
+        {"visibility": 9, "text": "nested"},
+        {"visibility": 1, "text": " plain"},
+    ]
+
+
+def test_text_node_named_h1_quirk():
+    # the reference's switch on rNode.Data runs before the text check:
+    # a text node whose raw content is exactly "h1" adopts multiplier 10
+    html = b'<html><body><a href="/x">h1</a></body></html>'
+    links = extract_links("http://o.example/", html)
+    assert links[0]["keywords"] == [{"visibility": 10, "text": "h1"}]
+
+
+def test_keyword_emitted_for_raw_nonempty_even_if_cleans_empty():
+    # raw "\n" is non-empty → keyword row with cleaned text ""
+    html = b'<html><body><a href="/x">\n</a></body></html>'
+    links = extract_links("http://o.example/", html)
+    assert links[0]["keywords"] == [{"visibility": 1, "text": ""}]
+
+
+def test_src_links_extracted_from_img_and_script():
+    html = (
+        b'<html><body><img src="http://a.example/i.png"/>'
+        b'<script src="app.js"></script></body></html>'
+    )
+    links = extract_links("http://o.example/p/1", html)
+    assert [l["dest_url"] for l in links] == [
+        "http://a.example/i.png",
+        "http://o.example/p/app.js",
+    ]
+    assert links[0]["keywords"] == []
+
+
+def test_relative_resolution_against_page_url():
+    html = b'<html><body><a href="../up">u</a><a href="sib">s</a></body></html>'
+    links = extract_links("http://o.example/a/b/c", html)
+    assert [l["dest_url"] for l in links] == [
+        "http://o.example/a/up",
+        "http://o.example/a/b/sib",
+    ]
+
+
+def test_extract_keywords_entity_decoding():
+    root = parse_html(b"<p>fish &amp; chips &lt;3</p>")
+    kws = extract_keywords(root)
+    assert kws == [(1, "fish & chips <3")]
