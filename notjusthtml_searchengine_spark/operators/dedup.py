@@ -1,0 +1,188 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each as composable DataFrame transforms.
+Exact/Jaccard/MinHash use the portable md5-derived hash so their
+results are DuckDB-oracle-checkable; SimHash uses the same hash with
+bit arithmetic in built-ins.
+
+Scale notes: shingle explosion is the dominant cost — it is a
+map-side explode (no shuffle) feeding one groupBy; LSH banding turns
+the O(n²) pair space into per-bucket self-joins whose size AQE can
+handle (skewed buckets split by adaptive skew-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textops import portable_hash48, portable_hash64, tokens
+
+MERSENNE_P = (1 << 61) - 1
+
+
+def normalized(col):
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One representative (min id) per distinct normalized text."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document (map-side explode)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    grams = F.when(F.size(toks) >= n, grams).otherwise(F.array())
+    return (
+        df.select(F.col(id_col), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles_a: DataFrame,
+    id_col: str,
+    max_id_gap: int | None = None,
+) -> DataFrame:
+    """Pairwise Jaccard over shared shingles.
+
+    Joins docs on shared shingles (only pairs with ≥1 common shingle
+    materialize), counts the intersection, and derives the union from
+    per-doc shingle counts: |A∪B| = |A|+|B|-|A∩B|.
+    """
+    counts = shingles_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles_a.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles_a.select(F.col(id_col).alias("id_b"), "shingle")
+    cond = F.col("id_a") < F.col("id_b")
+    if max_id_gap is not None:
+        cond = cond & (F.col("id_b") - F.col("id_a") <= max_id_gap)
+    inter = (
+        a.join(b, "shingle")
+        .filter(cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(counts.withColumnRenamed(id_col, "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(counts.withColumnRenamed(id_col, "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 16, n: int = 3
+) -> DataFrame:
+    """k-permutation MinHash signatures over word n-gram shingles.
+
+    h_i(s) = (a_i * H(s) + b_i) mod (2^61-1) with deterministic odd
+    a_i / b_i and the portable 48-bit md5-based H (so a_i * H stays
+    within int64 under ANSI arithmetic) — reproducible anywhere.
+    Output: (id, sig: array<bigint>[k]).
+    """
+    sh = word_shingles(df, id_col, text_col, n).withColumn(
+        "h", portable_hash48(F.col("shingle"))
+    )
+    aggs = [
+        F.min(
+            (F.lit(2 * i + 1) * F.col("h") + F.lit(i * i + 1)) % F.lit(MERSENNE_P)
+        ).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    sigs = sh.groupBy(id_col).agg(*aggs)
+    return sigs.select(
+        F.col(id_col), F.array(*[F.col(f"mh{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, bands: int = 4) -> DataFrame:
+    """Band the signatures and self-join per (band, band-hash) bucket.
+
+    rows_per_band = k/bands; docs sharing any band land in the same
+    bucket → candidate pair. Returns distinct (id_a < id_b) pairs.
+    """
+    k = bands  # bands count; rows derived from sig length at runtime
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("sig"),
+                            b * (F.size("sig") / bands).cast("int") + 1,
+                            (F.size("sig") / bands).cast("int"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    b = banded.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash over word tokens using the portable hash.
+
+    Classic Charikar scheme: per token take 60 hash bits, sum ±1 per
+    bit position weighted by term frequency, sign → fingerprint bit.
+    Pure built-ins: explode → groupBy(token) → per-bit aggregate.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    hashed = toks.withColumn("h", portable_hash64(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for i in range(60):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = bit * F.lit(1 << i).cast("bigint")
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by Hamming distance on SimHash fingerprints.
+
+    Brute pair scan here (fine for candidate subsets); at corpus scale
+    block by bit-chunks first (pigeonhole: any pair within d shares
+    one of d+1 chunks) — same pattern as lsh_candidate_pairs.
+    """
+    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exact baseline, plus a random-
+hyperplane LSH-bucketed variant as the scale path. Dot products are
+computed over *quantized* integer vectors (round(x*1000)) so results
+are bit-identical across engines (integer sums in double are exact
+below 2^53) — this makes even the similarity queries oracle-checkable
+against DuckDB.
+
+Scale notes: brute force is one broadcast of the (small) query set
+against a full scan — embarrassingly parallel, no shuffle except the
+final per-query top-k (TakeOrdered-style window). The LSH variant
+buckets candidates by hyperplane sign pattern so each query probes
+only its bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textops import portable_hash64
+
+QUANT = 1000
+
+
+def quantized(col: Column) -> Column:
+    """array<float> → array<bigint> via round(x*QUANT)."""
+    return F.transform(col, lambda x: F.round(x * QUANT).cast("bigint"))
+
+
+def dot_q(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_sq_q(a: Column) -> Column:
+    return dot_q(a, a)
+
+
+def cosine_q(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors (double; deterministic given
+    identical integer dot/norms on both engines)."""
+    return F.round(
+        dot_q(a, b) / F.sqrt(norm_sq_q(a).cast("double") * norm_sq_q(b).cast("double")),
+        4,
+    )
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector.
+
+    queries: (qid, qvec). Broadcast the query side; rank per query by
+    (cosine desc, id asc) — fully deterministic.
+    """
+    e = embeddings.select(
+        F.col(id_col), quantized(F.col(vec_col)).alias("vq")
+    )
+    q = queries.select(F.col("qid"), quantized(F.col("qvec")).alias("qq"))
+    scored = e.join(F.broadcast(q), F.col(id_col) != F.col("qid")).withColumn(
+        "cosine", cosine_q(F.col("vq"), F.col("qq"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rk")
+    )
+
+
+def hyperplane_signs(vec_q: Column, n_planes: int, dim: int) -> Column:
+    """LSH bucket id: sign pattern of n_planes deterministic pseudo-
+    random hyperplanes. Plane p component j = portable_hash64(p:j)
+    mapped to ±1 — reproducible anywhere, no RNG state."""
+    def plane_dot(p):
+        # ±1 components via hash parity
+        comps = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: F.when(
+                portable_hash64(F.concat_ws(":", F.lit(p).cast("string"), j.cast("string")))
+                % 2
+                == 0,
+                F.lit(1).cast("bigint"),
+            ).otherwise(F.lit(-1).cast("bigint")),
+        )
+        return F.aggregate(
+            F.zip_with(vec_q, comps, lambda x, c: x * c),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        )
+
+    bucket = None
+    for p in range(n_planes):
+        bit = F.when(plane_dot(p) >= 0, F.lit(1)).otherwise(F.lit(0)).cast("bigint")
+        term = bit * F.lit(1 << p).cast("bigint")
+        bucket = term if bucket is None else bucket + term
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's
+    hyperplane-sign bucket, then exact cosine rank within it."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
+    q = queries.select("qid", quantized(F.col("qvec")).alias("qq"))
+    q = q.withColumn("bucket", hyperplane_signs(F.col("qq"), n_planes, dim))
+    scored = e.join(F.broadcast(q), "bucket").filter(
+        F.col(id_col) != F.col("qid")
+    ).withColumn("cosine", cosine_q(F.col("vq"), F.col("qq")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rk")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed
+    (pairs in different buckets are missed — documented approximation;
+    raise n_planes for precision, lower for recall)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
+    a = e.select(F.col(id_col).alias("id_a"), F.col("vq").alias("va"), "bucket")
+    b = e.select(F.col(id_col).alias("id_b"), F.col("vq").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_q(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,102 @@
+"""Text-analysis operators for a large-scale training-data pipeline.
+
+All pure built-in column expressions (JVM-side, whole-stage codegen;
+no Python in the hot path): token counting, quality scoring,
+stopword-vote language ID, document fingerprinting, and the portable
+md5-based 64-bit hash used by the dedup family (identical results in
+Spark and DuckDB, so every operator here is oracle-checkable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Portable 60-bit hash: first 15 hex digits of md5 → bigint.
+# Spark:  conv(substr(md5(s),1,15),16,10)::bigint
+# DuckDB: CAST('0x'||substr(md5(s),1,15) AS BIGINT)
+
+
+def portable_hash64(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def portable_hash48(col: Column) -> Column:
+    """48-bit variant: safe to multiply by small coefficients under
+    ANSI int64 arithmetic (31 * 2^48 << 2^63) — used by MinHash."""
+    return F.conv(F.substring(F.md5(col), 1, 12), 16, 10).cast("bigint")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def punct_ratio(col: Column) -> Column:
+    stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
+    return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))
+
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "en"],
+}
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(F.lower(col))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS[lang])))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_len(col: Column) -> Column:
+    toks = tokens(col)
+    return F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1]-ish quality heuristic: length band, punctuation
+    sanity, stopword presence. Deterministic, oracle-expressible."""
+    n = token_count(col)
+    len_ok = F.when((n >= 10) & (n <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio(col) < 0.2, 1.0).otherwise(0.5)
+    stop_ok = F.when(stopword_ratio(col) > 0.05, 1.0).otherwise(0.6)
+    return F.round(len_ok * punct_ok * stop_ok, 4)
+
+
+def lang_votes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID: explode tokens, join the stopword
+    dim (broadcast), majority vote per doc with deterministic
+    tie-break (lang asc). n-gram-free heuristic — oracle-checkable."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in STOPWORDS.items() for w in ws], "lang string, word string"
+    )
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("word")
+    )
+    votes = toks.join(F.broadcast(sw), "word").groupBy(id_col, "lang").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("votes"), F.asc("lang"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(id_col, F.col("lang").alias("lang_pred"), "votes")
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercased
+    text (content-defined identity for exact/near-exact dedup)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))

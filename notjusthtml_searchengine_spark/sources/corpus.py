@@ -262,7 +262,14 @@ def _page_url(host: str, i: int) -> str:
     return f"http://{host}/p/{i}"
 
 
-def build_corpus(n_pages: int = 60, seed: int = 42, n_hosts: int | None = None) -> Corpus:
+def build_corpus(
+    n_pages: int = 60,
+    seed: int = 42,
+    n_hosts: int | None = None,
+    special_pages: bool = True,
+) -> Corpus:
+    """special_pages=False skips images/big/empty/binary bodies — a
+    lean HTML-only corpus for extraction-kernel demo queries."""
     rng = random.Random(seed)
     n_hosts = n_hosts or max(4, n_pages // 25)
     hosts = [f"host{h}.example" for h in range(n_hosts)]
@@ -394,6 +401,12 @@ def build_corpus(n_pages: int = 60, seed: int = 42, n_hosts: int | None = None) 
                 "sha1": hashlib.sha1(body).digest(),
                 "sha512": hashlib.sha512(body).digest(),
             }
+        )
+
+    if not special_pages:
+        seeds = [_page_url(page_host[0], 0), _page_url(page_host[min(1, n_pages - 1)], min(1, n_pages - 1))]
+        return Corpus(
+            pages=pages, golden=golden, seeds=seeds, flagged=list(FLAGGED_WORDS), robots=[]
         )
 
     for j, iurl in enumerate(image_urls):
