@@ -1,0 +1,261 @@
+"""Benchmark harness (driver contract + BASELINE.md north metrics).
+
+Default mode runs, on ``local[$SPARK_GRAFT_CPUS]`` against
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1):
+
+  1. the headline operator queries from __spark_entry__ (timed with a
+     noop-sink write so full execution is forced), and
+  2. the crawl benchmark: a full frontier drain of a deterministic
+     synthetic corpus (cached across runs) through the round driver —
+     reporting pages fetched, wall time, and pages/sec, and
+  3. (unless SPARK_GRAFT_BENCH_SCALING=0) the same crawl at two
+     parallelism levels — local[8] vs local[32] as the sandbox
+     stand-in for N vs 4N executors (BASELINE.json north_rule) — in
+     fresh subprocess JVMs, reporting scaling efficiency
+     pps(4N) / (4 * pps(N)).
+
+Prints ONE JSON line:
+  {"metric": "frontier_drain_wall_sec", "value": <crawl wall sec>,
+   "unit": "sec", "queries": {...}, "sf": <sf>,
+   "crawl": {...}, "scaling": {...}}
+
+Subprocess mode: ``python bench.py --crawl-only --master local[8]``
+prints a small JSON dict for one crawl run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "rating_theta_join",
+    "dims_broadcast_join",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "windowed_rollup",
+    "sessionize",
+    "doc_fingerprint",
+]
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def _corpus_dir(n_pages: int) -> str:
+    # tmpfs by default: the sandbox disk's buffered I/O serializes
+    # concurrent readers; a real cluster reads from distributed storage
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/dev/shm/spark_graft_bench"),
+        f"corpus_n{n_pages}",
+    )
+
+
+def _ensure_corpus(n_pages: int) -> str:
+    from notjusthtml_searchengine_spark.sources.bench_corpus import (
+        generate_bench_corpus,
+    )
+
+    d = _corpus_dir(n_pages)
+    generate_bench_corpus(d, n_pages=n_pages)
+    return d
+
+
+def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
+    """One full frontier drain; returns pages/wall/pps."""
+    from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
+    from notjusthtml_searchengine_spark.session import get_spark
+
+    local_dir = "/dev/shm/spark_graft_local"
+    os.makedirs(local_dir, exist_ok=True)
+    spark = get_spark(
+        app_name=f"bench-crawl-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+        extra_confs={
+            "spark.ui.showConsoleProgress": "false",
+            # shuffle/spill on tmpfs: the sandbox's virtio disk has
+            # erratic buffered-write latency that otherwise dominates
+            "spark.local.dir": local_dir,
+            # AQE's per-shuffle stage-materialization barriers add
+            # ~0.3-0.5s latency per stage — significant at local bench
+            # scale, negligible (and beneficial: skew splits) on a real
+            # cluster. Benchmark uses static partitioning sized to the
+            # known topology, as one would on a provisioned cluster.
+            "spark.sql.adaptive.enabled": "false",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up JVM codegen + Python UDF workers on a 2-row job so the
+    # measured wall time reflects steady-state throughput, not JIT /
+    # worker-fork cost (which amortizes to zero at production scale).
+    from pyspark.sql import functions as F
+
+    from notjusthtml_searchengine_spark.extract.udfs import extract_links_flat
+
+    warm = spark.createDataFrame(
+        [("http://w.example/a", b"<html><body><a href='/x'>w</a></body></html>")],
+        "origin_url string, html binary",
+    )
+    extract_links_flat(warm, url_col="origin_url").count()
+
+    state_dir = tempfile.mkdtemp(prefix="bench_state_", dir="/dev/shm")
+    cfg = CrawlConfig(
+        state_dir=state_dir,
+        round_budget=None,
+        per_host_budget=None,  # saturated-frontier throughput mode
+        use_robots=True,
+        # exact anti-join only: the bloom shard pre-filter is the
+        # 10^10-seen-rows scale path; at bench scale (seen fits in one
+        # broadcast) it is pure overhead — measured at +~25% round
+        # latency locally, see BENCH/BASELINE.md.
+        bloom_prefilter=os.environ.get("SPARK_GRAFT_BENCH_BLOOM", "0") == "1",
+        n_buckets=32,
+        shard_bits=1 << 20,
+        media=False,  # text corpus; media branch exercised in tests
+        lineage_metrics=False,
+        compact_seen_every=4,
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=os.path.join(corpus_dir, "pages.parquet"),
+        seeds_path=os.path.join(corpus_dir, "seeds.txt"),
+        flagged_path=os.path.join(corpus_dir, "flaggedWords.csv"),
+        robots_path=os.path.join(corpus_dir, "robots.parquet"),
+        cfg=cfg,
+    )
+    t0 = time.perf_counter()
+    stats = eng.run(max_rounds=64)
+    wall = time.perf_counter() - t0
+    pages = sum(s.get("pages_fetched", 0) for s in stats)
+    rounds = [s for s in stats if not s.get("done")]
+    spark.stop()
+    shutil.rmtree(state_dir, ignore_errors=True)
+
+    # Sustained throughput: least-squares slope of wall_ms over pages
+    # across rounds 2..n (round 1 carries residual warmup). This is
+    # the steady-state pages/sec a production-size round would see —
+    # the per-round fixed driver cost (job launch, snapshot commit)
+    # amortizes to zero as rounds grow toward cluster scale.
+    pts = [(s["pages_fetched"], s["wall_ms"]) for s in rounds[1:] if s["pages_fetched"] > 0]
+    sustained = None
+    if len(pts) >= 2:
+        n = len(pts)
+        sx = sum(p for p, _ in pts)
+        sy = sum(w for _, w in pts)
+        sxx = sum(p * p for p, _ in pts)
+        sxy = sum(p * w for p, w in pts)
+        denom = n * sxx - sx * sx
+        if denom > 0:
+            slope_ms_per_page = (n * sxy - sx * sy) / denom
+            if slope_ms_per_page > 0:
+                sustained = round(1000.0 / slope_ms_per_page, 1)
+    return {
+        "master": master,
+        "pages_fetched": pages,
+        "rounds": len(rounds),
+        "round_pages": [s["pages_fetched"] for s in rounds],
+        "round_wall_ms": [s["wall_ms"] for s in rounds],
+        "wall_sec": round(wall, 2),
+        "pages_per_sec": round(pages / wall, 1) if wall > 0 else 0.0,
+        "sustained_pages_per_sec": sustained,
+    }
+
+
+def run_queries(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
+    import __spark_entry__ as entry
+    from notjusthtml_searchengine_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-queries", master=master, shuffle_partitions=shuffle_partitions)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 3)
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl-only", action="store_true")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000")))
+    args = ap.parse_args()
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    if args.crawl_only:
+        corpus = _ensure_corpus(args.pages)
+        master = args.master or f"local[{cpus}]"
+        n = int(master.split("[")[1].rstrip("]*")or 32) if "[" in master else 32
+        res = run_crawl(master, corpus, shuffle_partitions=max(n, 8))
+        print(json.dumps(res))
+        return
+
+    # 1) headline operator queries
+    queries = run_queries(sf_dir, f"local[{cpus}]", shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
+
+    # 2) crawl at main parallelism + 3) scaling pair in fresh JVMs
+    corpus = _ensure_corpus(args.pages)
+    scaling = {}
+    crawl_main = None
+    runs = [("local[8]", "n"), (f"local[{cpus}]", "4n")]
+    if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "0":
+        runs = [(f"local[{cpus}]", "4n")]
+    for master, tag in runs:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--crawl-only",
+             "--master", master, "--pages", str(args.pages)],
+            capture_output=True, text=True, timeout=3600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        if not line:
+            print(json.dumps({"error": f"crawl {master} failed", "stderr": proc.stderr[-2000:]}))
+            sys.exit(1)
+        res = json.loads(line[-1])
+        scaling[tag] = res
+        crawl_main = res
+
+    out = {
+        "metric": "frontier_drain_wall_sec",
+        "value": crawl_main["wall_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "crawl": crawl_main,
+    }
+    if "n" in scaling:
+        pps_n = scaling["n"].get("sustained_pages_per_sec") or scaling["n"]["pages_per_sec"]
+        pps_4n = scaling["4n"].get("sustained_pages_per_sec") or scaling["4n"]["pages_per_sec"]
+        factor = 32 / 8  # cores ratio of the two runs
+        out["scaling"] = {
+            "local8": scaling["n"],
+            "local32": scaling["4n"],
+            "efficiency_sustained": round(pps_4n / (factor * pps_n), 3) if pps_n else None,
+            "efficiency_total": round(
+                scaling["4n"]["pages_per_sec"] / (factor * scaling["n"]["pages_per_sec"]), 3
+            )
+            if scaling["n"]["pages_per_sec"]
+            else None,
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

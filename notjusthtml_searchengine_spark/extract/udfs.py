@@ -21,13 +21,73 @@ from .kernels import extract_links, visible_text
 
 @pandas_udf(T.ArrayType(schemas.EXTRACTED_LINK))
 def extract_links_udf(url: pd.Series, html: pd.Series) -> pd.Series:
-    """Kernel U1: page → array<struct<dest_url, keywords>>."""
+    """Kernel U1: page → array<struct<dest_url, keywords>> (nested form).
+
+    NOTE: Arrow conversion of nested list<struct<..list<struct>>>
+    results is ~7x slower than the kernel itself; the round driver
+    uses extract_links_flat below (all-scalar columns) instead. This
+    nested form is kept for ad-hoc/API use."""
     return pd.Series(
         [
             extract_links(u, h) if (h is not None and u is not None) else []
             for u, h in zip(url, html)
         ]
     )
+
+
+def extract_links_flat(df, url_col: str = "url_norm", html_col: str = "html"):
+    """Kernel U1, flat form: one output row per (link, keyword).
+
+    Emits all-scalar columns so Arrow transfer is fully vectorized
+    (no python-loop struct building). Links with zero keywords emit
+    one row with null kw_idx/visibility/text. All non-html input
+    columns are carried through unchanged.
+
+    Downstream (shuffle-free) projections:
+      links    = flat.filter(kw_idx.isNull() | (kw_idx == 0))
+      keywords = flat.filter(kw_idx.isNotNull())
+    """
+    carry = [f for f in df.schema.fields if f.name not in (html_col,)]
+    out_schema = T.StructType(
+        list(carry)
+        + [
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("dest_url", T.StringType(), False),
+            T.StructField("kw_idx", T.IntegerType(), True),
+            T.StructField("visibility", T.IntegerType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    carry_names = [f.name for f in carry]
+    out_names = [f.name for f in out_schema.fields]
+
+    def gen(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in out_names}
+            urls = pdf[url_col].tolist()
+            htmls = pdf[html_col].tolist()
+            carries = {n: pdf[n].tolist() for n in carry_names}
+            for i, (u, h) in enumerate(zip(urls, htmls)):
+                if h is None or u is None:
+                    continue
+                for pos, lnk in enumerate(extract_links(u, h)):
+                    kws = lnk["keywords"] or [None]
+                    for ki, kw in enumerate(kws):
+                        for n in carry_names:
+                            cols[n].append(carries[n][i])
+                        cols["pos"].append(pos)
+                        cols["dest_url"].append(lnk["dest_url"])
+                        if kw is None:
+                            cols["kw_idx"].append(None)
+                            cols["visibility"].append(None)
+                            cols["text"].append(None)
+                        else:
+                            cols["kw_idx"].append(ki)
+                            cols["visibility"].append(kw["visibility"])
+                            cols["text"].append(kw["text"])
+            yield pd.DataFrame(cols, columns=out_names)
+
+    return df.mapInPandas(gen, out_schema)
 
 
 @pandas_udf(T.StringType())

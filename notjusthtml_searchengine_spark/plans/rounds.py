@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..extract.udfs import extract_links_udf, sniff_udf
+from ..extract.udfs import extract_links_flat, sniff_udf
 from ..media.udfs import exif_udf, phash_udf
 from ..operators import bloom as bloom_ops
 from ..operators import crawl_ops as ops
@@ -48,6 +48,7 @@ class CrawlConfig:
     shard_bits: int = 1 << 20  # per-shard bloom bits (scale: size per bucket)
     salt: int = 8  # hot-host salting fan-out before extraction
     media: bool = True
+    write_blobs: bool = True
     compact_seen_every: int = 8
     lineage_metrics: bool = True
     extra: dict = field(default_factory=dict)
@@ -159,12 +160,20 @@ class CrawlEngine:
         rest = frontier.join(batch.select("url_norm"), "url_norm", "left_anti")
 
         # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
-        fetched = ops.fetch_join(batch, self.pages)
-        gated = ops.gate_fetched(fetched).repartition(
+        # column-prune before the shuffle: text/lang are never used in
+        # the round (text regeneration is a test-side invariant)
+        fetched = ops.fetch_join(
+            batch, self.pages.select("url", "warc_ts", "html")
+        )
+        gated = ops.gate_fetched(fetched)
+        # A broadcast join preserves the corpus scan's partitioning —
+        # often far fewer partitions than cores. Redistribute before
+        # the fat UDFs; the salt term spreads hot hosts (skew, §4.2).
+        gated = gated.repartition(
             self.spark.sparkContext.defaultParallelism,
             F.xxhash64("host"),
-            F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
-        )
+            F.pmod(F.col("url_hash"), F.lit(max(cfg.salt, 1))),
+        ).persist()  # one materialization; every branch below reads it
         ok = (
             gated.filter(F.col("gate") == "ok")
             .withColumn("content_type", sniff_udf("html"))
@@ -174,7 +183,6 @@ class CrawlEngine:
             .withColumn("site_id", F.xxhash64("url_norm"))
             .withColumn("content_id", F.xxhash64("url_norm", F.lit(r)))
             .withColumn("time_found", F.unix_micros("warc_ts"))
-            .persist()
         )
 
         err_gate = gated.filter(F.col("gate") != "ok").select(
@@ -188,6 +196,14 @@ class CrawlEngine:
             F.col("gate").alias("error_text"),
         )
 
+        # Sink writes are deferred: persisted parents are materialized
+        # once (via the stats counts below), then all independent sink
+        # writes run concurrently from a thread pool — each write is a
+        # separate Spark job and the scheduler overlaps them, hiding
+        # per-job launch latency (a dozen sequential ~0.5s jobs/round
+        # would otherwise dominate small rounds).
+        pending: list[tuple] = []
+
         # ---- S8 contents / S7 blobs (A4+J7) ---------------------------
         contents = ok.select(
             F.lit(r).alias("round"),
@@ -199,17 +215,21 @@ class CrawlEngine:
             "sha1",
             "time_found",
         )
-        self._write(contents, r, "contents")
+        pending.append((contents, "contents"))
 
-        blob_glob = self.state.sink_glob("content_blobs")
-        new_blobs = ok.select("sha1", F.col("html").alias("content")).dropDuplicates(["sha1"])
-        if r > 1:
-            existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
-            new_blobs = new_blobs.join(existing.select("sha1"), "sha1", "left_anti")
-        self._write(new_blobs, r, "content_blobs")
+        if cfg.write_blobs:
+            blob_glob = self.state.sink_glob("content_blobs")
+            new_blobs = ok.select("sha1", F.col("html").alias("content")).dropDuplicates(
+                ["sha1"]
+            )
+            if r > 1:
+                existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
+                new_blobs = new_blobs.join(existing.select("sha1"), "sha1", "left_anti")
+            pending.append((new_blobs, "content_blobs"))
 
         # ---- P7 media branch → U5/U6 ----------------------------------
         err_media = None
+        hashed = None
         if cfg.media:
             imgs = ok.filter(F.col("content_type").isin("image/png", "image/jpeg")).select(
                 "url_norm", "content_id", "html", "content_type"
@@ -223,7 +243,7 @@ class CrawlEngine:
                 F.col("ph.dhash").alias("dhash"),
                 F.col("ph.phash").alias("phash"),
             )
-            self._write(phashes, r, "perceptual_hashes")
+            pending.append((phashes, "perceptual_hashes"))
             exifs = hashed.filter(F.col("ex.present")).select(
                 "content_id",
                 F.col("ex.camera").alias("camera"),
@@ -231,7 +251,7 @@ class CrawlEngine:
                 F.col("ex.lat").alias("lat"),
                 F.col("ex.long").alias("long"),
             )
-            self._write(exifs, r, "exif_info")
+            pending.append((exifs, "exif_info"))
             err_media = hashed.filter(F.col("ph.error").isNotNull()).select(
                 F.lit(r).alias("round"),
                 F.col("url_norm").alias("url"),
@@ -239,38 +259,23 @@ class CrawlEngine:
                 F.col("ph.error").alias("error_text"),
             )
 
-        # ---- P5/P6 + U1: link extraction ------------------------------
-        htmlable = ops.html_gate(ok).select("url_norm", "depth", "time_found", "html")
-        links = (
-            htmlable.select(
-                F.col("url_norm").alias("origin_url"),
-                "depth",
-                "time_found",
-                F.posexplode_outer(extract_links_udf("url_norm", "html")).alias("pos", "lnk"),
-            )
-            .filter(F.col("lnk").isNotNull())
-            .select(
-                "origin_url",
-                "depth",
-                "time_found",
-                "pos",
-                F.col("lnk.dest_url").alias("dest_url"),
-                F.col("lnk.keywords").alias("keywords"),
-            )
-            .withColumn(
-                "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
-            )
-            .persist()
+        # ---- P5/P6 + U1: link extraction (flat: one row per keyword,
+        # all-scalar Arrow transfer; links/keywords are shuffle-free
+        # filters of the same persisted frame) ---------------------------
+        htmlable = ops.html_gate(ok).select(
+            F.col("url_norm").alias("origin_url"), "depth", "time_found", "html"
         )
+        flat = extract_links_flat(htmlable, url_col="origin_url").withColumn(
+            "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
+        ).persist()
 
-        keywords = links.select(
-            "link_id", F.explode_outer("keywords").alias("kw")
-        ).filter(F.col("kw").isNotNull()).select(
-            "link_id",
-            F.col("kw.visibility").alias("visibility"),
-            F.col("kw.text").alias("text"),
+        links = flat.filter(F.col("kw_idx").isNull() | (F.col("kw_idx") == 0)).select(
+            "origin_url", "depth", "time_found", "pos", "dest_url", "link_id"
         )
-        self._write(keywords, r, "link_keywords")
+        keywords = flat.filter(F.col("kw_idx").isNotNull()).select(
+            "link_id", "visibility", "text"
+        )
+        pending.append((keywords, "link_keywords"))
 
         ratings = ops.link_rating(keywords, self.flagged)
         rated = links.join(ratings, "link_id", "left").withColumn(
@@ -288,7 +293,7 @@ class CrawlEngine:
             "rating",
             "time_found",
         )
-        self._write(link_rels, r, "link_rels")
+        pending.append((link_rels, "link_rels"))
 
         # ---- candidates: A5/A6 collapse → robots → J2 seen check ------
         cands = rated.select(
@@ -329,21 +334,14 @@ class CrawlEngine:
 
         # compaction: every N rounds rewrite one merged seen table
         if r % cfg.compact_seen_every == 0:
-            merged = seen.unionByName(
-                new.select(
-                    "url_norm",
-                    F.xxhash64("url_norm").alias("url_hash"),
-                    F.lit(r).alias("round_seen"),
-                )
-            )
-            self._write(
+            merged = seen.unionByName(seen_delta)
+            pending.append((
                 merged.repartition(cfg.n_buckets, F.pmod("url_hash", F.lit(cfg.n_buckets))),
-                r,
                 "seen_full",
-            )
+            ))
             new_seen_parts = [f"r{r:05d}/seen_full"]
         else:
-            self._write(seen_delta, r, "seen_delta")
+            pending.append((seen_delta, "seen_delta"))
             new_seen_parts = seen_parts + [f"r{r:05d}/seen_delta"]
 
         new_frontier = new.filter(F.col("priority") > 0).select(
@@ -355,7 +353,7 @@ class CrawlEngine:
             F.xxhash64("url_norm").alias("url_hash"),
         )
         frontier_next = rest.unionByName(new_frontier)
-        self._write(frontier_next, r, "frontier")
+        pending.append((frontier_next, "frontier"))
 
         # ---- U8: bloom shard merge ------------------------------------
         bloom_rel = None
@@ -366,19 +364,30 @@ class CrawlEngine:
             shards2 = bloom_ops.build_shards(
                 new.select("url_norm"), cfg.n_buckets, cfg.shard_bits, old_shards
             )
-            self._write(shards2, r, "bloom")
+            pending.append((shards2, "bloom"))
             bloom_rel = f"r{r:05d}/bloom"
 
         # ---- errors / metrics / stats ----------------------------------
         errors = err_gate
         if err_media is not None:
             errors = errors.unionByName(err_media)
-        self._write(errors, r, "errors")
+        pending.append((errors, "errors"))
 
-        pages_fetched = ok.count()
+        # ---- materialize persisted frames (stats counts double as the
+        # materialization barrier), then flush all sink writes in
+        # parallel --------------------------------------------------------
+        pages_fetched = gated.filter(F.col("gate") == "ok").count()
         links_found = rated.count()
         n_new_frontier = new.filter(F.col("priority") > 0).count()
-        n_errors = errors.count()
+        # gate errors = batch - fetched (no extra job over the join)
+        n_errors = n_batch - pages_fetched
+        if cfg.media:
+            hashed.count()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=int(cfg.extra.get("write_threads", 6))) as pool:
+            list(pool.map(lambda t: self._write(t[0], r, t[1]), pending))
 
         if cfg.lineage_metrics:
             lineage = self._lineage(
@@ -414,8 +423,9 @@ class CrawlEngine:
         self._write(round_stats, r, "round_stats")
         self.state.commit_round(r, stats)
 
-        for df in (batch, ok, links, rated, new):
-            df.unpersist()
+        for df in (batch, gated, flat, rated, new, hashed):
+            if df is not None:
+                df.unpersist()
         stats["done"] = False
         stats["round"] = r
         return stats

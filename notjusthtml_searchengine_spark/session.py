@@ -25,6 +25,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # html bodies are fat; keep Arrow batches small enough that a
     # batch of near-cap pages stays well under executor memory.
     "spark.sql.execution.arrow.maxRecordsPerBatch": "512",
+    # Same concern on the scan side: the vectorized parquet reader's
+    # default 4096-row column batch over a binary html column means
+    # 4096 × page_size per task — OOM at realistic page weights.
+    "spark.sql.parquet.columnarReaderBatchSize": "512",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),

@@ -1,0 +1,77 @@
+"""Similarity-search operators: brute-force cosine top-k and
+hyperplane-LSH bucketed ANN over array<float> embeddings."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from notjusthtml_searchengine_spark.operators.similarity import (
+    brute_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        v = [rng.gauss(0, 1) for _ in range(DIM)]
+        rows.append((i, [float(x) for x in v]))
+    # planted near-duplicates of vec 0
+    base = rows[0][1]
+    rows.append((100, [x + 0.01 for x in base]))
+    rows.append((101, [x * 1.001 for x in base]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def _queries(emb):
+    return emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+
+
+def test_brute_topk_finds_planted_neighbors(spark, emb):
+    out = brute_topk(emb, _queries(emb), k=3).collect()
+    neighbors = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rk"])]
+    assert set(neighbors[:2]) == {100, 101}
+    assert all(r["cosine"] <= 1.0 for r in out)
+
+
+def test_brute_topk_matches_python_oracle(spark, emb):
+    rows = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    q = rows[0]
+
+    def cos_q(a, b):
+        aq = [round(x * 1000) for x in a]
+        bq = [round(x * 1000) for x in b]
+        dot = sum(x * y for x, y in zip(aq, bq))
+        return round(dot / math.sqrt(sum(x * x for x in aq) * sum(y * y for y in bq)), 4)
+
+    expect = sorted(
+        ((cos_q(q, v), vid) for vid, v in rows.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:5]
+    out = brute_topk(emb, _queries(emb), k=5).orderBy("rk").collect()
+    assert [(r["cosine"], r["neighbor_id"]) for r in out] == expect
+
+
+def test_lsh_topk_recalls_near_duplicates(spark, emb):
+    """Near-identical vectors share every hyperplane sign → always in
+    the query's bucket; LSH must recall them."""
+    out = lsh_topk(emb, _queries(emb), k=3, n_planes=4, dim=DIM).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert {100, 101} <= neighbors
+
+
+def test_neardup_pairs_planted(spark, emb):
+    pairs = embedding_neardup_pairs(emb, threshold=0.99, n_planes=4, dim=DIM).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in got and (0, 101) in got and (100, 101) in got
