@@ -171,6 +171,60 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
     }
 
 
+def run_kernel_scaling(corpus_dir: str, masters=("local[8]", "local[32]")) -> dict:
+    """Extraction-kernel stage throughput at two parallelism levels.
+
+    This isolates the compute-bound stage (U1 over every page) from
+    the round driver's fixed per-round cost — the stage whose scaling
+    governs a production deployment where round sizes are millions of
+    pages and driver overhead amortizes to zero.
+    """
+    out = {}
+    for master in masters:
+        n = int(master.split("[")[1].rstrip("]*") or 32)
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"""
+import time, sys
+sys.path.insert(0, {os.path.dirname(os.path.abspath(__file__))!r})
+from notjusthtml_searchengine_spark.session import get_spark
+from notjusthtml_searchengine_spark.extract.udfs import extract_links_flat
+from pyspark.sql import functions as F
+spark = get_spark(master={master!r}, shuffle_partitions={n},
+    extra_confs={{'spark.ui.showConsoleProgress':'false','spark.local.dir':'/dev/shm/spark_graft_local',
+                  'spark.sql.adaptive.enabled':'false'}})
+spark.sparkContext.setLogLevel('ERROR')
+pages = spark.read.parquet({corpus_dir!r} + '/pages.parquet').select(F.col('url').alias('origin_url'),'html')
+warm = pages.limit(64)
+extract_links_flat(warm, url_col='origin_url', sniff_gate=True).count()
+n_pages = pages.count()
+t0 = time.perf_counter()
+n_links = extract_links_flat(pages, url_col='origin_url', sniff_gate=True).count()
+wall = time.perf_counter() - t0
+import json
+print(json.dumps({{'pages': n_pages, 'links_rows': n_links, 'wall_sec': round(wall,2),
+                   'pages_per_sec': round(n_pages/wall,1)}}))
+""",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=1200,
+            env={**os.environ, "SPARK_GRAFT_DRIVER_MEM": "32g"},
+        )
+        lines = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")]
+        out[master] = json.loads(lines[-1]) if lines else {"error": proc.stderr[-500:]}
+    if all("pages_per_sec" in v for v in out.values()):
+        pps = {m: v["pages_per_sec"] for m, v in out.items()}
+        ms = list(out.keys())
+        cores = [int(m.split("[")[1].rstrip("]*")) for m in ms]
+        out["efficiency"] = round(
+            pps[ms[1]] / ((cores[1] / cores[0]) * pps[ms[0]]), 3
+        )
+    return out
+
+
 def run_queries(sf_dir: str, master: str, shuffle_partitions: int) -> dict:
     import __spark_entry__ as entry
     from notjusthtml_searchengine_spark.session import get_spark
@@ -195,6 +249,7 @@ def main() -> None:
     ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000")))
     args = ap.parse_args()
 
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -232,6 +287,8 @@ def main() -> None:
         scaling[tag] = res
         crawl_main = res
 
+    kernel_scaling = run_kernel_scaling(corpus)
+
     out = {
         "metric": "frontier_drain_wall_sec",
         "value": crawl_main["wall_sec"],
@@ -239,6 +296,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "crawl": crawl_main,
+        "kernel_scaling": kernel_scaling,
     }
     if "n" in scaling:
         pps_n = scaling["n"].get("sustained_pages_per_sec") or scaling["n"]["pages_per_sec"]

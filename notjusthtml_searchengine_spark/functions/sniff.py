@@ -116,3 +116,65 @@ def detect_content_type(body: bytes | None) -> str:
 def detect_series(bodies: pd.Series) -> pd.Series:
     """Vectorized form for use inside Arrow pandas UDFs."""
     return bodies.map(detect_content_type)
+
+
+def sniff_col(html_col: str = "html"):
+    """JVM Column-expression version of the sniffer (whole-stage
+    codegen; no Python stage over the fat html column).
+
+    Bit-equivalent to detect_content_type for every branch (parity-
+    tested in tests/test_sniff.py::test_jvm_column_sniff_parity);
+    exact-prefix signatures compare raw binary, the HTML/text branches
+    work on a UTF-8 cast of the first 512 bytes (lossy replacement of
+    invalid sequences never affects the ASCII prefixes being tested).
+    """
+    from pyspark.sql import functions as F
+
+    head = F.expr(f"substring({html_col}, 1, 512)")  # binary
+    s = head.cast("string")
+    trimmed = F.regexp_replace(s, "^[\\t\\n\\x0c\\r ]+", "")
+    up = F.upper(trimmed)
+
+    def tag_match(t: str):
+        if t == "<!--":
+            return up.startswith("<!--")
+        return up.startswith(t + " ") | up.startswith(t + ">")
+
+    html_hit = None
+    for t in _HTML_TAGS:
+        m = tag_match(t.decode())
+        html_hit = m if html_hit is None else (html_hit | m)
+
+    def bin_prefix(sig: bytes):
+        return F.expr(f"substring({html_col}, 1, {len(sig)})") == F.lit(sig)
+
+    expr = F.when(html_hit, "text/html; charset=utf-8").when(
+        trimmed.startswith("<?xml"), "text/xml; charset=utf-8"
+    )
+    for sig, mime in _EXACT:
+        expr = expr.when(bin_prefix(sig), mime)
+    expr = (
+        expr.when(
+            bin_prefix(b"RIFF") & (F.expr(f"substring({html_col}, 9, 6)") == F.lit(b"WEBPVP")),
+            "image/webp",
+        )
+        .when(
+            bin_prefix(b"RIFF") & (F.expr(f"substring({html_col}, 9, 4)") == F.lit(b"WAVE")),
+            "audio/wave",
+        )
+        .when(
+            bin_prefix(b"RIFF") & (F.expr(f"substring({html_col}, 9, 4)") == F.lit(b"AVI ")),
+            "video/avi",
+        )
+        .when(
+            (F.length(html_col) >= 12)
+            & (F.expr(f"substring({html_col}, 5, 4)") == F.lit(b"ftyp")),
+            "video/mp4",
+        )
+        .when(
+            ~s.rlike("[\\x00-\\x08\\x0b\\x0e-\\x1a\\x1c-\\x1f]"),
+            "text/plain; charset=utf-8",
+        )
+        .otherwise("application/octet-stream")
+    )
+    return expr

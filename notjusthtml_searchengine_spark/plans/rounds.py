@@ -25,11 +25,20 @@ import os
 import time
 from dataclasses import dataclass, field
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Serialized in-memory caching: DataFrame.persist() defaults to the
+# DESERIALIZED level, which for fat binary rows (60KB+ html) floods
+# the old generation with live byte[] objects and multiplies GC time
+# ~5x (measured). Serialized blocks cost a little CPU on re-read and
+# save the round.
+_CACHE = StorageLevel.MEMORY_AND_DISK
+
 from .. import schemas
-from ..extract.udfs import extract_links_flat, sniff_udf
+from ..extract.udfs import extract_links_flat
+from ..functions.sniff import sniff_col
 from ..media.udfs import exif_udf, phash_udf
 from ..operators import bloom as bloom_ops
 from ..operators import crawl_ops as ops
@@ -152,7 +161,7 @@ class CrawlEngine:
         seen = self._read_seen(seen_parts)
 
         # ---- W1/W2: drain --------------------------------------------
-        batch = ops.drain_frontier(frontier, cfg.round_budget, cfg.per_host_budget).persist()
+        batch = ops.drain_frontier(frontier, cfg.round_budget, cfg.per_host_budget).persist(_CACHE)
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
@@ -166,17 +175,22 @@ class CrawlEngine:
             batch, self.pages.select("url", "warc_ts", "html")
         )
         gated = ops.gate_fetched(fetched)
-        # A broadcast join preserves the corpus scan's partitioning —
-        # often far fewer partitions than cores. Redistribute before
-        # the fat UDFs; the salt term spreads hot hosts (skew, §4.2).
-        gated = gated.repartition(
-            self.spark.sparkContext.defaultParallelism,
-            F.xxhash64("host"),
-            F.pmod(F.col("url_hash"), F.lit(max(cfg.salt, 1))),
-        ).persist()  # one materialization; every branch below reads it
+        # Salted redistribution before the fat UDFs spreads hot hosts
+        # (skew, §4.2) and restores parallelism when the corpus scan
+        # has fewer partitions than cores. It is a full shuffle of the
+        # html bodies — skip it (salt=0) when the corpus layout already
+        # provides ≥cores partitions and no politeness clustering
+        # applies (the host-randomized scan is skew-free by itself).
+        if cfg.salt > 0:
+            gated = gated.repartition(
+                self.spark.sparkContext.defaultParallelism,
+                F.xxhash64("host"),
+                F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
+            )
+        gated = gated.persist(_CACHE)  # every branch below reads this once
         ok = (
             gated.filter(F.col("gate") == "ok")
-            .withColumn("content_type", sniff_udf("html"))
+            .withColumn("content_type", sniff_col("html"))
             .withColumn("sha1", F.unhex(F.sha1("html")))
             .withColumn("sha512", F.unhex(F.sha2("html", 512)))
             .withColumn("size", F.length("html").cast("int"))
@@ -231,12 +245,26 @@ class CrawlEngine:
         err_media = None
         hashed = None
         if cfg.media:
-            imgs = ok.filter(F.col("content_type").isin("image/png", "image/jpeg")).select(
-                "url_norm", "content_id", "html", "content_type"
+            # pure-JVM magic-byte gate (equivalent to the WHATWG sniff
+            # for these two types) — avoids chaining a python sniff
+            # stage in front of the python media kernels
+            png_sig = F.expr("substring(html, 1, 8)") == F.lit(b"\x89PNG\r\n\x1a\n")
+            jpg_sig = F.expr("substring(html, 1, 3)") == F.lit(b"\xff\xd8\xff")
+            imgs = (
+                gated.filter(F.col("gate") == "ok")
+                .filter(png_sig | jpg_sig)
+                .select(
+                    "url_norm",
+                    F.xxhash64("url_norm", F.lit(r)).alias("content_id"),
+                    "html",
+                    F.when(png_sig, "image/png").otherwise("image/jpeg").alias(
+                        "content_type"
+                    ),
+                )
             )
             hashed = imgs.withColumn("ph", phash_udf("html", "content_type")).withColumn(
                 "ex", exif_udf("html")
-            ).select("url_norm", "content_id", "ph", "ex").persist()
+            ).select("url_norm", "content_id", "ph", "ex").persist(_CACHE)
             phashes = hashed.filter(F.col("ph.error").isNull()).select(
                 "content_id",
                 F.col("ph.ahash").alias("ahash"),
@@ -261,13 +289,23 @@ class CrawlEngine:
 
         # ---- P5/P6 + U1: link extraction (flat: one row per keyword,
         # all-scalar Arrow transfer; links/keywords are shuffle-free
-        # filters of the same persisted frame) ---------------------------
-        htmlable = ops.html_gate(ok).select(
-            F.col("url_norm").alias("origin_url"), "depth", "time_found", "html"
+        # filters of the same persisted frame). The P5 html-sniff gate
+        # runs INSIDE the kernel (sniff_gate=True) and P6's image-
+        # suffix skip is a JVM filter — exactly one Python stage. -------
+        htmlable = gated.filter(
+            (F.col("gate") == "ok")
+            & ~F.lower(F.col("url_norm")).rlike(r"\.(jpeg|png|jpg)$")
+        ).select(
+            F.col("url_norm").alias("origin_url"),
+            "depth",
+            F.unix_micros("warc_ts").alias("time_found"),
+            "html",
         )
-        flat = extract_links_flat(htmlable, url_col="origin_url").withColumn(
+        flat = extract_links_flat(
+            htmlable, url_col="origin_url", sniff_gate=True
+        ).withColumn(
             "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
-        ).persist()
+        ).persist(_CACHE)
 
         links = flat.filter(F.col("kw_idx").isNull() | (F.col("kw_idx") == 0)).select(
             "origin_url", "depth", "time_found", "pos", "dest_url", "link_id"
@@ -281,7 +319,7 @@ class CrawlEngine:
         rated = links.join(ratings, "link_id", "left").withColumn(
             "rating", F.coalesce(F.col("rating"), F.lit(0.0))
         )
-        rated = ops.with_link_priority(rated).persist()
+        rated = ops.with_link_priority(rated).persist(_CACHE)
 
         link_rels = rated.select(
             F.lit(r).alias("round"),
@@ -313,7 +351,7 @@ class CrawlEngine:
             )
             probed = bloom_ops.probe_shards(
                 cands, shards, cfg.n_buckets, cfg.shard_bits
-            ).persist()
+            ).persist(_CACHE)
             negatives = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
             positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
             # exact check for bloom-positives only: two broadcast joins,
@@ -324,9 +362,9 @@ class CrawlEngine:
             new_from_pos = positives.join(
                 F.broadcast(seen_matches), "url_norm", "left_anti"
             )
-            new = negatives.unionByName(new_from_pos).persist()
+            new = negatives.unionByName(new_from_pos).persist(_CACHE)
         else:
-            new = ops.seen_anti_join(cands, seen).persist()
+            new = ops.seen_anti_join(cands, seen).persist(_CACHE)
 
         seen_delta = new.select(
             "url_norm", F.xxhash64("url_norm").alias("url_hash"), F.lit(r).alias("round_seen")

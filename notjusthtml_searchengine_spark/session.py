@@ -32,6 +32,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Throughput GC: G1's region machinery collapses under many task
+    # threads churning fat (tens-of-KB) byte[] rows — measured 20x
+    # slowdown on a 32-thread shuffle of 60KB html bodies vs
+    # ParallelGC. Batch engines want throughput GC; same flag goes in
+    # spark.executor.extraJavaOptions on a real cluster.
+    "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
+    "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
 }
 
 

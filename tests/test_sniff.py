@@ -27,3 +27,35 @@ def test_text_vs_binary():
 def test_pdf_xml():
     assert detect_content_type(b"%PDF-1.7 ...") == "application/pdf"
     assert detect_content_type(b"  <?xml version='1.0'?>") == "text/xml; charset=utf-8"
+
+
+def test_jvm_column_sniff_parity(spark, corpus):
+    """sniff_col (JVM expression) must agree with detect_content_type
+    (python kernel) on every corpus body plus adversarial fixtures."""
+    from notjusthtml_searchengine_spark.functions.sniff import sniff_col
+
+    bodies = [p["html"] for p in corpus.pages if len(p["html"]) < 1_000_000]
+    bodies += [
+        b"",
+        b"<htmlx>nope",
+        b"  \t\r\n<HTML><body>x",
+        b"<!-- comment page -->",
+        b"<?xml version='1.0'?><r/>",
+        b"%PDF-1.4",
+        b"\x89PNG\r\n\x1a\nrest",
+        b"\xff\xd8\xff\xdbjunk",
+        b"GIF89aXYZ",
+        b"RIFF1234WEBPVP8 ",
+        b"RIFF1234WAVEfmt ",
+        b"\x00\x00\x00\x18ftypmp42",
+        b"plain ascii text only",
+        "unicode téxt ütf-8".encode(),
+        bytes(range(256)),
+        b"PK\x03\x04zipfile",
+        b"\x1f\x8b\x08gz",
+    ]
+    df = spark.createDataFrame([(bytearray(b),) for b in bodies], "html binary")
+    got = [r[0] for r in df.select(sniff_col("html")).collect()]
+    want = [detect_content_type(b) for b in bodies]
+    for g, w, b in zip(got, want, bodies):
+        assert g == w, (b[:40], g, w)
