@@ -171,6 +171,37 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
     }
 
 
+def cpu_calibration() -> dict:
+    """Platform CPU-scaling ceiling: pure-python spin at 8 vs 32
+    processes. Virtualized/shared hosts rarely deliver 4x throughput
+    for 4x vCPUs (frequency/bandwidth sharing); engine scaling
+    numbers are reported raw AND normalized against this ceiling."""
+    import multiprocessing as mp
+
+    def best(procs: int) -> float:
+        b = 1e9
+        for _ in range(2):
+            with mp.Pool(procs) as p:
+                t0 = time.perf_counter()
+                p.map(_spin, [4_000_000] * 32)
+                b = min(b, time.perf_counter() - t0)
+        return b
+
+    t8, t32 = best(8), best(32)
+    return {
+        "spin_sec_8procs": round(t8, 3),
+        "spin_sec_32procs": round(t32, 3),
+        "platform_ceiling_8_to_32": round(t8 / (4 * t32), 3),
+    }
+
+
+def _spin(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def run_kernel_scaling(corpus_dir: str, masters=("local[8]", "local[32]")) -> dict:
     """Extraction-kernel stage throughput at two parallelism levels.
 
@@ -246,7 +277,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--master", default=None)
-    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "24000")))
+    ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "96000")))
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -288,6 +319,11 @@ def main() -> None:
         crawl_main = res
 
     kernel_scaling = run_kernel_scaling(corpus)
+    calib = cpu_calibration()
+    if "efficiency" in kernel_scaling and calib.get("platform_ceiling_8_to_32"):
+        kernel_scaling["efficiency_vs_platform_ceiling"] = round(
+            kernel_scaling["efficiency"] / calib["platform_ceiling_8_to_32"], 3
+        )
 
     out = {
         "metric": "frontier_drain_wall_sec",
@@ -297,21 +333,28 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl_main,
         "kernel_scaling": kernel_scaling,
+        "cpu_calibration": calib,
     }
     if "n" in scaling:
         pps_n = scaling["n"].get("sustained_pages_per_sec") or scaling["n"]["pages_per_sec"]
         pps_4n = scaling["4n"].get("sustained_pages_per_sec") or scaling["4n"]["pages_per_sec"]
         factor = 32 / 8  # cores ratio of the two runs
+        eff_sustained = round(pps_4n / (factor * pps_n), 3) if pps_n else None
         out["scaling"] = {
             "local8": scaling["n"],
             "local32": scaling["4n"],
-            "efficiency_sustained": round(pps_4n / (factor * pps_n), 3) if pps_n else None,
+            "efficiency_sustained": eff_sustained,
             "efficiency_total": round(
                 scaling["4n"]["pages_per_sec"] / (factor * scaling["n"]["pages_per_sec"]), 3
             )
             if scaling["n"]["pages_per_sec"]
             else None,
         }
+        ceiling = calib.get("platform_ceiling_8_to_32")
+        if eff_sustained and ceiling:
+            out["scaling"]["efficiency_sustained_vs_platform_ceiling"] = round(
+                eff_sustained / ceiling, 3
+            )
     print(json.dumps(out))
 
 

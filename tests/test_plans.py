@@ -1,0 +1,96 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations we rely on
+must actually appear in the executed plan — predicate pushdown into
+the parquet scan, column pruning, broadcast joins for dimensions,
+broadcast nested-loop for the containment theta-join, and whole-stage
+codegen on the JVM paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/orders.parquet").filter(F.col("o_totalprice") > 300000)
+    p = plan_of(df)
+    assert "PushedFilters: [IsNotNull(o_totalprice), GreaterThan(o_totalprice,300000.0)]" in p
+
+
+def test_column_pruning(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    p = plan_of(df)
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in p
+    assert "text" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_dims_join_is_broadcast(spark):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_dims_broadcast_join(spark, SF), mode="simple")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+
+
+def test_rating_theta_join_is_broadcast_nested_loop(spark):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_rating_theta_join(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_seen_anti_join_shape(spark):
+    import __spark_entry__ as entry
+
+    p = plan_of(entry.q_seen_anti_join(spark, SF))
+    assert "LeftAnti" in p
+
+
+def test_frontier_topk_avoids_global_sort_shuffle(spark):
+    """Global top-k via orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k then merge) — no full sort of the table."""
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    df = orders.orderBy(F.desc("o_totalprice"), "o_orderkey").limit(100)
+    p = plan_of(df)
+    assert "TakeOrderedAndProject" in p
+
+
+def test_whole_stage_codegen_on_jvm_sniff(spark, corpus):
+    """The JVM column-expression sniffer must stay inside codegen —
+    no Python evaluation node in the plan."""
+    from notjusthtml_searchengine_spark.functions.sniff import sniff_col
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.encode("text", "utf-8").alias("html"))
+        .select(sniff_col("html").alias("ct"))
+    )
+    p = plan_of(df, mode="simple")
+    assert "Python" not in p
+    assert "*(1)" in p  # whole-stage codegen span covers the projection
+
+
+def test_extraction_is_single_python_stage(spark):
+    """Exactly one Arrow/Python node between the page scan and the
+    flat link rows (the fused sniff gate keeps it to one hop)."""
+    from notjusthtml_searchengine_spark.extract.udfs import extract_links_flat
+
+    pages = spark.createDataFrame(
+        [("http://a.example/", bytearray(b"<html><a href='/x'>t</a></html>"))],
+        "origin_url string, html binary",
+    )
+    flat = extract_links_flat(pages, url_col="origin_url", sniff_gate=True)
+    links = flat.filter(F.col("kw_idx").isNull() | (F.col("kw_idx") == 0))
+    p = plan_of(links, mode="simple")
+    assert p.count("MapInPandas") + p.count("PythonMapInArrow") == 1
+    assert "ArrowEvalPython" not in p  # no chained scalar-UDF stage
