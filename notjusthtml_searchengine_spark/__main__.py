@@ -1,0 +1,56 @@
+"""spark-submit entry point.
+
+Ship the package and drive a crawl:
+
+    zip -r njh_spark.zip notjusthtml_searchengine_spark
+    spark-submit --py-files njh_spark.zip -m notjusthtml_searchengine_spark \
+        --pages s3://bucket/pages --seeds seeds.txt --flagged flagged.csv \
+        --robots robots.parquet --state s3://bucket/crawl_state \
+        --round-budget 1000000 --per-host-budget 64
+
+(or `python -m notjusthtml_searchengine_spark ...` locally).
+Resumes automatically from the latest committed round snapshot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from .plans.rounds import CrawlConfig, CrawlEngine
+from .session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="notjusthtml_searchengine_spark")
+    ap.add_argument("--pages", required=True, help="pages parquet path/dir")
+    ap.add_argument("--seeds", required=True, help="seed url list (text)")
+    ap.add_argument("--flagged", required=True, help="flaggedWords.csv")
+    ap.add_argument("--robots", default=None, help="robots rules parquet")
+    ap.add_argument("--state", required=True, help="checkpoint/state dir")
+    ap.add_argument("--round-budget", type=int, default=None)
+    ap.add_argument("--per-host-budget", type=int, default=64)
+    ap.add_argument("--max-rounds", type=int, default=100)
+    ap.add_argument("--no-bloom", action="store_true")
+    ap.add_argument("--no-media", action="store_true")
+    ap.add_argument("--buckets", type=int, default=256)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="njh-crawl", master=args.master)
+    cfg = CrawlConfig(
+        state_dir=args.state,
+        round_budget=args.round_budget,
+        per_host_budget=args.per_host_budget,
+        bloom_prefilter=not args.no_bloom,
+        media=not args.no_media,
+        n_buckets=args.buckets,
+    )
+    eng = CrawlEngine(spark, args.pages, args.seeds, args.flagged, args.robots, cfg)
+    stats = eng.run(max_rounds=args.max_rounds)
+    for s in stats:
+        print(json.dumps(s))
+
+
+if __name__ == "__main__":
+    main()
