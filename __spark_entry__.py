@@ -698,6 +698,83 @@ def q_content_sniff(spark, sf_dir):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_url_canonicalize(spark, sf_dir):
+    """U3: Go url.Parse→String round-trip canonicalization + host."""
+    from notjusthtml_searchengine_spark.extract.udfs import canonicalize_udf, host_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    raw = F.concat(
+        F.lit("HTTP://Host"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".Example/p/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, "?q=1#frag").otherwise(""),
+    )
+    return docs.withColumn("raw", raw).select(
+        "doc_id",
+        canonicalize_udf("raw").alias("url_norm"),
+        host_udf("raw").alias("host"),
+    )
+
+
+def _media_payloads(spark) -> DataFrame:
+    """Small binary-payload table from the synthetic corpus images."""
+    from notjusthtml_searchengine_spark.sources.corpus import build_corpus
+
+    c = build_corpus(n_pages=12, seed=11, special_pages=True)
+    rows = [
+        (i, bytearray(p["html"]))
+        for i, p in enumerate(c.pages)
+        if 0 < len(p["html"]) < 1_000_000 and not p["url"].endswith(".html")
+    ]
+    return spark.createDataFrame(rows, "content_id bigint, payload binary")
+
+
+def q_media_meta(spark, sf_dir):
+    """Multimodal: typed metadata struct over opaque binary payloads."""
+    from notjusthtml_searchengine_spark.operators.multimodal import attach_media_meta
+
+    out = attach_media_meta(_media_payloads(spark))
+    return out.select(
+        "content_id",
+        F.col("meta.content_type").alias("content_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.decode_ok").alias("decode_ok"),
+    )
+
+
+def q_image_features(spark, sf_dir):
+    """Multimodal: decode → perceptual hashes + luma (PNG real,
+    other codecs stubbed → error rows)."""
+    from notjusthtml_searchengine_spark.operators.multimodal import image_features
+
+    return image_features(_media_payloads(spark), "content_id")
+
+
+def q_video_frame_sample(spark, sf_dir):
+    """Multimodal: per-video frame sampling explode (stub decode,
+    real batch/explode plumbing)."""
+    from notjusthtml_searchengine_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_media_payloads(spark), "content_id").select(
+        "content_id", "frame_idx", "ts_ms", F.length("frame").alias("frame_bytes")
+    )
+
+
+def q_faces_detect(spark, sf_dir):
+    """U7: face detection plumbing (deterministic fake detector) +
+    128-d descriptor output ready for F16 distance search."""
+    from notjusthtml_searchengine_spark.media.faces import detect_faces
+
+    faces = detect_faces(_media_payloads(spark), body_col="payload", detector="fake")
+    return faces.select(
+        "content_id",
+        F.size("descriptor").alias("descriptor_dim"),
+        F.col("rectangle.x0").alias("x0"),
+        F.size("shapes").alias("n_landmarks"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
@@ -741,6 +818,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
         "content_sniff": q_content_sniff,
+        "url_canonicalize": q_url_canonicalize,
+        # multimodal plumbing (binary payloads; decode stubbed where
+        # the container lacks codecs — see operators/multimodal.py)
+        "media_meta": q_media_meta,
+        "image_features": q_image_features,
+        "video_frame_sample": q_video_frame_sample,
+        "faces_detect": q_faces_detect,
     }
 
 
