@@ -15,7 +15,12 @@ golden-tested in tests/.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# make the package importable regardless of the driver's cwd
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -162,11 +167,13 @@ def q_blob_dedup(spark, sf_dir):
         docs.select("doc_id", F.md5("text").alias("content_hash"))
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+        .withColumn("hash_b64", F.base64(F.unhex("content_hash")))  # F14
     )
 
 
 SQL_BLOB_DEDUP = """
-SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups,
+       to_base64(from_hex(md5(text))) AS hash_b64
 FROM documents GROUP BY md5(text)
 """
 
