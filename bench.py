@@ -9,10 +9,13 @@ Default mode runs, on ``local[$SPARK_GRAFT_CPUS]`` against
      synthetic corpus (cached across runs) through the round driver —
      reporting pages fetched, wall time, and pages/sec, and
   3. (unless SPARK_GRAFT_BENCH_SCALING=0) the same crawl at two
-     parallelism levels — local[8] vs local[32] as the sandbox
-     stand-in for N vs 4N executors (BASELINE.json north_rule) — in
+     parallelism levels — SPARK_GRAFT_BENCH_LEVELS, default "4,16",
+     the sandbox stand-in for N vs 4N executors (BASELINE.json
+     north_rule; this host's vCPUs throttle above ~16 concurrent
+     threads, so 4→16 measures the engine, not the hypervisor) — in
      fresh subprocess JVMs, reporting scaling efficiency
-     pps(4N) / (4 * pps(N)).
+     pps(4N) / (4 * pps(N)) plus a kernel-stage pair and a pure-CPU
+     platform-ceiling calibration.
 
 Prints ONE JSON line:
   {"metric": "frontier_drain_wall_sec", "value": <crawl wall sec>,
@@ -171,8 +174,8 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
     }
 
 
-def cpu_calibration() -> dict:
-    """Platform CPU-scaling ceiling: pure-python spin at 8 vs 32
+def cpu_calibration(lo: int = 4, hi: int = 16) -> dict:
+    """Platform CPU-scaling ceiling: pure-python spin at lo vs hi
     processes. Virtualized/shared hosts rarely deliver 4x throughput
     for 4x vCPUs (frequency/bandwidth sharing); engine scaling
     numbers are reported raw AND normalized against this ceiling."""
@@ -187,11 +190,12 @@ def cpu_calibration() -> dict:
                 b = min(b, time.perf_counter() - t0)
         return b
 
-    t8, t32 = best(8), best(32)
+    t_lo, t_hi = best(lo), best(hi)
+    factor = hi / lo
     return {
-        "spin_sec_8procs": round(t8, 3),
-        "spin_sec_32procs": round(t32, 3),
-        "platform_ceiling_8_to_32": round(t8 / (4 * t32), 3),
+        f"spin_sec_{lo}procs": round(t_lo, 3),
+        f"spin_sec_{hi}procs": round(t_hi, 3),
+        "platform_ceiling": round(t_lo / (factor * t_hi), 3),
     }
 
 
@@ -296,13 +300,18 @@ def main() -> None:
     # 1) headline operator queries
     queries = run_queries(sf_dir, f"local[{cpus}]", shuffle_partitions=int(cpus) if cpus.isdigit() else 32)
 
-    # 2) crawl at main parallelism + 3) scaling pair in fresh JVMs
+    # 2) crawl at two parallelism levels (N vs 4N stand-in) in fresh
+    # JVMs. Default pair is 4/16: this host's vCPUs throttle above ~16
+    # concurrent threads (see cpu_calibration + BENCH/BASELINE.md), so
+    # 4→16 measures the engine rather than the hypervisor.
+    levels = os.environ.get("SPARK_GRAFT_BENCH_LEVELS", "4,16").split(",")
+    lo, hi = int(levels[0]), int(levels[1])
     corpus = _ensure_corpus(args.pages)
     scaling = {}
     crawl_main = None
-    runs = [("local[8]", "n"), (f"local[{cpus}]", "4n")]
+    runs = [(f"local[{lo}]", "n"), (f"local[{hi}]", "4n")]
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "0":
-        runs = [(f"local[{cpus}]", "4n")]
+        runs = [(f"local[{hi}]", "4n")]
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     for master, tag in runs:
         best = None
@@ -324,11 +333,13 @@ def main() -> None:
         scaling[tag] = best
         crawl_main = best
 
-    kernel_scaling = run_kernel_scaling(corpus)
-    calib = cpu_calibration()
-    if "efficiency" in kernel_scaling and calib.get("platform_ceiling_8_to_32"):
+    kernel_scaling = run_kernel_scaling(
+        corpus, masters=(f"local[{lo}]", f"local[{hi}]")
+    )
+    calib = cpu_calibration(lo, hi)
+    if "efficiency" in kernel_scaling and calib.get("platform_ceiling"):
         kernel_scaling["efficiency_vs_platform_ceiling"] = round(
-            kernel_scaling["efficiency"] / calib["platform_ceiling_8_to_32"], 3
+            kernel_scaling["efficiency"] / calib["platform_ceiling"], 3
         )
 
     out = {
@@ -344,11 +355,11 @@ def main() -> None:
     if "n" in scaling:
         pps_n = scaling["n"].get("sustained_pages_per_sec") or scaling["n"]["pages_per_sec"]
         pps_4n = scaling["4n"].get("sustained_pages_per_sec") or scaling["4n"]["pages_per_sec"]
-        factor = 32 / 8  # cores ratio of the two runs
+        factor = hi / lo  # cores ratio of the two runs
         eff_sustained = round(pps_4n / (factor * pps_n), 3) if pps_n else None
         out["scaling"] = {
-            "local8": scaling["n"],
-            "local32": scaling["4n"],
+            f"local{lo}": scaling["n"],
+            f"local{hi}": scaling["4n"],
             "efficiency_sustained": eff_sustained,
             "efficiency_total": round(
                 scaling["4n"]["pages_per_sec"] / (factor * scaling["n"]["pages_per_sec"]), 3
@@ -356,7 +367,7 @@ def main() -> None:
             if scaling["n"]["pages_per_sec"]
             else None,
         }
-        ceiling = calib.get("platform_ceiling_8_to_32")
+        ceiling = calib.get("platform_ceiling")
         if eff_sustained and ceiling:
             out["scaling"]["efficiency_sustained_vs_platform_ceiling"] = round(
                 eff_sustained / ceiling, 3
