@@ -368,6 +368,58 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP aggregation (engine completeness beyond the reference —
+    grouping-sets hierarchy over the dimension joins)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    return (
+        joined.rollup("p_brand", "l_returnflag")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "bigint"
+                )
+            ).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "revenue_cents",
+            "n",
+        )
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(p_brand, 'ALL') AS brand, coalesce(l_returnflag, 'ALL') AS returnflag,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_brand, l_returnflag)
+"""
+
+
+def q_distinct_users(spark, sf_dir):
+    """Exact distinct-count metrics (A2-family: the engine's
+    unique-hosts/urls-per-round metric, exact form)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def q_url_host(spark, sf_dir):
     """F1/F3: host extraction (url.Hostname — database.go:154)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
@@ -809,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "windowed_rollup": q_windowed_rollup,
         "url_host": q_url_host,
+        "rollup_revenue": q_rollup_revenue,
+        "distinct_users": q_distinct_users,
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -852,6 +906,8 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": SQL_SESSIONIZE,
         "windowed_rollup": SQL_WINDOWED,
         "url_host": SQL_URL_HOST,
+        "rollup_revenue": SQL_ROLLUP,
+        "distinct_users": SQL_DISTINCT_USERS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "ann_brute_topk": SQL_ANN_BRUTE,
