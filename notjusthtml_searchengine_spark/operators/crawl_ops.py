@@ -47,10 +47,27 @@ def load_flagged_words(spark: SparkSession, csv_path: str) -> DataFrame:
 # SURVEY.md §3.4) and a per-host politeness cap (north_rule; absent in
 # the reference).
 # ---------------------------------------------------------------------------
+def crawl_delay_caps(robots: DataFrame, round_seconds: float) -> DataFrame:
+    """robots crawl_delay_ms → per-host per-round fetch caps.
+
+    A round is a logical time slice of ``round_seconds``; a host with
+    crawl_delay d ms may be fetched at most round_seconds*1000/d times
+    within it (min 1). Hosts without a delay rule get no row (the
+    global per_host_budget applies)."""
+    return robots.filter(F.coalesce(F.col("crawl_delay_ms"), F.lit(0)) > 0).select(
+        "host",
+        F.greatest(
+            F.lit(1),
+            F.floor(F.lit(round_seconds * 1000.0) / F.col("crawl_delay_ms")),
+        ).cast("int").alias("host_cap"),
+    )
+
+
 def drain_frontier(
     frontier: DataFrame,
     round_budget: int | None,
     per_host_budget: int | None,
+    host_caps: DataFrame | None = None,
 ) -> DataFrame:
     """Select this round's fetch batch. Rows not selected stay queued.
 
@@ -67,14 +84,24 @@ def drain_frontier(
         F.max("host").alias("host"),
         F.max("url_hash").alias("url_hash"),
     )
-    if per_host_budget is not None:
+    if per_host_budget is not None or host_caps is not None:
         w_host = Window.partitionBy("host").orderBy(
             F.desc("priority"), F.asc("url_hash")
         )
+        if host_caps is not None:
+            batch = batch.join(F.broadcast(host_caps), "host", "left")
+            default_cap = (
+                F.lit(per_host_budget)
+                if per_host_budget is not None
+                else F.lit(2**31 - 1)
+            )
+            cap = F.least(F.coalesce(F.col("host_cap"), default_cap), default_cap)
+        else:
+            cap = F.lit(per_host_budget)
         batch = (
             batch.withColumn("_hr", F.row_number().over(w_host))
-            .filter(F.col("_hr") <= per_host_budget)
-            .drop("_hr")
+            .filter(F.col("_hr") <= cap)
+            .drop("_hr", "host_cap")
         )
     if round_budget is not None:
         # Global top-k: single-partition window is fine because the

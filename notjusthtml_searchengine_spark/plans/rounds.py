@@ -51,6 +51,9 @@ class CrawlConfig:
     state_dir: str
     round_budget: int | None = None
     per_host_budget: int | None = 64
+    # logical round duration; with robots crawl_delay rules present,
+    # a host's per-round cap becomes round_seconds*1000/crawl_delay_ms
+    round_seconds: float | None = None
     use_robots: bool = True
     bloom_prefilter: bool = True
     n_buckets: int = 32
@@ -161,7 +164,12 @@ class CrawlEngine:
         seen = self._read_seen(seen_parts)
 
         # ---- W1/W2: drain --------------------------------------------
-        batch = ops.drain_frontier(frontier, cfg.round_budget, cfg.per_host_budget).persist(_CACHE)
+        host_caps = None
+        if self.robots is not None and cfg.round_seconds:
+            host_caps = ops.crawl_delay_caps(self.robots, cfg.round_seconds)
+        batch = ops.drain_frontier(
+            frontier, cfg.round_budget, cfg.per_host_budget, host_caps=host_caps
+        ).persist(_CACHE)
         n_batch = batch.count()
         if n_batch == 0:
             batch.unpersist()
