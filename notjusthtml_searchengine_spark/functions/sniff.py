@@ -21,9 +21,6 @@ _WS = b"\t\n\x0c\r "
 _EXACT = [
     (b"%PDF-", "application/pdf"),
     (b"%!PS-Adobe-", "application/postscript"),
-    (b"\xfe\xff\x00\x00", "text/plain; charset=utf-16be"),
-    (b"\xff\xfe\x00\x00", "text/plain; charset=utf-16le"),
-    (b"\xef\xbb\xbf\x00", "text/plain; charset=utf-8"),
     (b"GIF87a", "image/gif"),
     (b"GIF89a", "image/gif"),
     (b"\x89PNG\r\n\x1a\n", "image/png"),
@@ -42,8 +39,19 @@ _EXACT = [
     (b"OTTO", "font/otf"),
 ]
 
+# UTF BOM signatures are MASKED (Go sniff.go masks FF FF 00 00 /
+# FF FF FF 00): only the BOM bytes are compared, but the masked
+# window is 4 bytes, so inputs shorter than 4 bytes never match.
+_MASKED_BOMS = [
+    (b"\xfe\xff", "text/plain; charset=utf-16be"),
+    (b"\xff\xfe", "text/plain; charset=utf-16le"),
+    (b"\xef\xbb\xbf", "text/plain; charset=utf-8"),
+]
+_BOM_WINDOW = 4
+
 # HTML tag sniffers: case-insensitive prefix + tag-terminating byte
-# (space or '>') required right after — per spec and Go's htmlSig.
+# (space or '>') required right after — per spec and Go's htmlSig,
+# which applies the terminator rule to every tag INCLUDING '<!--'.
 _HTML_TAGS = [
     b"<!DOCTYPE HTML",
     b"<HTML",
@@ -93,11 +101,14 @@ def detect_content_type(body: bytes | None) -> str:
     for tag in _HTML_TAGS:
         if upper.startswith(tag):
             rest = trimmed[len(tag) :]
-            if tag == b"<!--" or (rest[:1] in (b" ", b">")):
+            if rest[:1] in (b" ", b">"):
                 return "text/html; charset=utf-8"
     if trimmed.startswith(b"<?xml"):
         return "text/xml; charset=utf-8"
 
+    for bom, mime in _MASKED_BOMS:
+        if len(data) >= _BOM_WINDOW and data.startswith(bom):
+            return mime
     for sig, mime in _EXACT:
         if data.startswith(sig):
             return mime
@@ -136,8 +147,6 @@ def sniff_col(html_col: str = "html"):
     up = F.upper(trimmed)
 
     def tag_match(t: str):
-        if t == "<!--":
-            return up.startswith("<!--")
         return up.startswith(t + " ") | up.startswith(t + ">")
 
     html_hit = None
@@ -151,6 +160,8 @@ def sniff_col(html_col: str = "html"):
     expr = F.when(html_hit, "text/html; charset=utf-8").when(
         trimmed.startswith("<?xml"), "text/xml; charset=utf-8"
     )
+    for bom, mime in _MASKED_BOMS:
+        expr = expr.when((F.length(html_col) >= 4) & bin_prefix(bom), mime)
     for sig, mime in _EXACT:
         expr = expr.when(bin_prefix(sig), mime)
     expr = (

@@ -45,12 +45,24 @@ def resolve(base: str, ref: str) -> str | None:
 
 
 def host_of(raw: str) -> str:
-    """Go ``url.Hostname()``: host without port, brackets stripped."""
+    """Go ``url.Hostname()``: host without port, brackets stripped.
+
+    Case is PRESERVED (Go does not lowercase the host on parse, and
+    the engine's JVM path ``parse_url(url, 'HOST')`` preserves case
+    too — both paths must produce identical politeness/robots keys).
+    ``urlsplit().hostname`` lowercases, so the netloc is taken apart
+    manually.
+    """
     try:
-        h = urlsplit(raw).hostname
+        netloc = urlsplit(raw).netloc
     except ValueError:
         return ""
-    return h or ""
+    if "@" in netloc:  # strip userinfo
+        netloc = netloc.rsplit("@", 1)[1]
+    if netloc.startswith("["):  # bracketed IPv6 literal
+        end = netloc.find("]")
+        return netloc[1:end] if end > 0 else netloc[1:]
+    return netloc.split(":", 1)[0]
 
 
 # ---- vectorized (pandas Series) forms used inside Arrow UDFs ----------

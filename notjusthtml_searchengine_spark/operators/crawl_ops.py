@@ -142,11 +142,13 @@ def gate_fetched(fetched: DataFrame) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # P5/P6 — html-only gate before link extraction (html.go:162-171).
+# The suffix skip is case-SENSITIVE (strings.HasSuffix on the raw
+# URL); only the priority rule (crawling.go:20) lowercases first.
 # ---------------------------------------------------------------------------
 def html_gate(df: DataFrame, url_col: str = "url_norm") -> DataFrame:
     return df.filter(
         F.col("content_type").startswith("text/html")
-        & ~F.lower(F.col(url_col)).rlike(r"\.(jpeg|png|jpg)$")
+        & ~F.col(url_col).rlike(r"\.(jpeg|png|jpg)$")
     )
 
 

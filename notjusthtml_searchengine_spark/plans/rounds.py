@@ -300,9 +300,12 @@ class CrawlEngine:
         # filters of the same persisted frame). The P5 html-sniff gate
         # runs INSIDE the kernel (sniff_gate=True) and P6's image-
         # suffix skip is a JVM filter — exactly one Python stage. -------
+        # NOTE: case-SENSITIVE suffix skip — html.go:169 uses
+        # strings.HasSuffix on the raw URL (only the priority rule at
+        # crawling.go:20 lowercases first).
         htmlable = gated.filter(
             (F.col("gate") == "ok")
-            & ~F.lower(F.col("url_norm")).rlike(r"\.(jpeg|png|jpg)$")
+            & ~F.col("url_norm").rlike(r"\.(jpeg|png|jpg)$")
         ).select(
             F.col("url_norm").alias("origin_url"),
             "depth",

@@ -10,6 +10,20 @@ def test_html_variants():
     assert detect_content_type(b"<!-- c -->") == "text/html; charset=utf-8"
     # tag-terminator required: "<htmlx" is NOT html
     assert detect_content_type(b"<htmlx>hi") == "text/plain; charset=utf-8"
+    # '<!--' needs the terminator too (Go htmlSig applies it uniformly)
+    assert detect_content_type(b"<!--x") == "text/plain; charset=utf-8"
+    assert detect_content_type(b"<!-->") == "text/html; charset=utf-8"
+
+
+def test_utf_boms_masked():
+    """Go's BOM signatures are masked: trailing bytes are ignored, but
+    the 4-byte masked window means inputs shorter than 4 never match."""
+    assert detect_content_type(b"\xfe\xff\x00A") == "text/plain; charset=utf-16be"
+    assert detect_content_type(b"\xfe\xffAB") == "text/plain; charset=utf-16be"
+    assert detect_content_type(b"\xff\xfeXY") == "text/plain; charset=utf-16le"
+    assert detect_content_type(b"\xef\xbb\xbfhi") == "text/plain; charset=utf-8"
+    # <4 bytes: no BOM match; not binary bytes -> plain text fallback
+    assert detect_content_type(b"\xfe\xff") == "text/plain; charset=utf-8"
 
 
 def test_images():
@@ -53,6 +67,12 @@ def test_jvm_column_sniff_parity(spark, corpus):
         bytes(range(256)),
         b"PK\x03\x04zipfile",
         b"\x1f\x8b\x08gz",
+        b"\xfe\xff\x00A",  # utf-16be BOM (masked match)
+        b"\xff\xfeXY",  # utf-16le BOM
+        b"\xef\xbb\xbfhi",  # utf-8 BOM
+        b"\xfe\xff",  # too short for the 4-byte BOM window
+        b"<!--x",  # '<!--' without terminator is not html
+        b"<!-->",
     ]
     df = spark.createDataFrame([(bytearray(b),) for b in bodies], "html binary")
     got = [r[0] for r in df.select(sniff_col("html")).collect()]

@@ -41,6 +41,30 @@ def test_host_of():
     assert host_of("not a url") == ""
 
 
+def test_host_of_preserves_case_like_go_and_jvm():
+    """Go url.Hostname() preserves host case; so does Spark's
+    parse_url(url,'HOST') — the Python helper must agree so
+    politeness/robots keys are consistent across both paths."""
+    assert host_of("http://ExAmple.COM/p") == "ExAmple.COM"
+    assert host_of("http://ExAmple.COM:8080/p") == "ExAmple.COM"
+    assert host_of("http://user:pw@MiXed.Host/p") == "MiXed.Host"
+    assert host_of("http://[2001:DB8::1]:443/p") == "2001:DB8::1"
+
+
+def test_host_parity_python_vs_jvm(spark):
+    from pyspark.sql import functions as F
+
+    urls = [
+        "http://ExAmple.COM/p",
+        "http://ExAmple.COM:8080/p",
+        "http://host1.example/p/1",
+        "https://UPPER.example/x?q=1",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    jvm_hosts = [r[0] for r in df.select(F.expr("parse_url(url, 'HOST')")).collect()]
+    assert jvm_hosts == [host_of(u) for u in urls]
+
+
 @given(
     st.builds(
         lambda h, p, q: f"http://{h}.example/{p}" + (f"?{q}" if q else ""),
