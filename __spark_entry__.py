@@ -9,8 +9,9 @@ double results are bit-stable across engines.
 
 Rows-only entries (no oracle_sql) are the genuinely non-SQL kernels:
 HTML link extraction (U1), visible-text parity (U2), content sniff
-(U4), MinHash-LSH / SimHash signatures, LSH ANN — each separately
-golden-tested in tests/.
+(U4), LSH ANN, and the stub-decode media plumbing — each separately
+golden-tested in tests/. MinHash-LSH and SimHash ARE oracle-checked
+(the portable md5-derived hash makes them bit-identical in DuckDB).
 """
 
 from __future__ import annotations
@@ -468,7 +469,8 @@ def q_dedup_jaccard(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     sh = word_shingles(docs, "doc_id", "text", n=2)
-    pairs = jaccard_pairs(sh, "doc_id")
+    # max_df: corpus-scale hot-shingle cutoff (mirrored in the oracle)
+    pairs = jaccard_pairs(sh, "doc_id", max_df=100)
     return pairs.filter(F.col("jaccard") >= 0.2).select(
         "id_a", "id_b", F.col("n_inter").cast("bigint").alias("n_inter"), "jaccard"
     )
@@ -478,12 +480,14 @@ SQL_DEDUP_JACCARD = r"""
 WITH toks AS (
   SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
   FROM documents WHERE doc_id < 300),
-sh AS (
+sh0 AS (
   SELECT DISTINCT doc_id,
          unnest(CASE WHEN len(t) >= 2
                 THEN list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' '))
                 ELSE [] END) AS shingle
   FROM toks),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+sh AS (SELECT sh0.* FROM sh0 JOIN dfreq USING (shingle) WHERE dfreq.df <= 100),
 cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS ni
@@ -496,8 +500,9 @@ WHERE round(ni::DOUBLE / (ca.n + cb.n - ni), 4) >= 0.2
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH candidate pairs (rows-only; validated against the
-    exact Jaccard operator in tests/test_dedup.py)."""
+    """MinHash+LSH candidate pairs (k=16 portable-hash permutations,
+    4 bands; also validated against the exact Jaccard operator in
+    tests/test_dedup.py)."""
     from notjusthtml_searchengine_spark.operators.dedup import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -508,12 +513,70 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return lsh_candidate_pairs(sigs, "doc_id", bands=4)
 
 
+def _sql_minhash_lsh() -> str:
+    """DuckDB mirror of minhash_signatures(k=16, n=2) +
+    lsh_candidate_pairs(bands=4): identical portable 48-bit hash,
+    identical permutations, identical band bucketing."""
+    M = (1 << 61) - 1
+    mins = ", ".join(
+        f"min(({2 * i + 1}*h + {i * i + 1}) % {M}) AS mh{i}" for i in range(16)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat="||','||".join(f"CAST(mh{i} AS VARCHAR)" for i in range(4 * b, 4 * b + 4)),
+        )
+        for b in range(4)
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 300),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' '))
+                ELSE [] END) AS shingle
+  FROM toks),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,12) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b USING (band, bucket)
+WHERE a.doc_id < b.doc_id
+"""
+
+
+SQL_MINHASH_LSH = _sql_minhash_lsh()
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only; property-tested)."""
+    """SimHash fingerprints (60-bit Charikar over the portable hash;
+    also property-tested in tests/test_dedup.py)."""
     from notjusthtml_searchengine_spark.operators.dedup import simhash64
 
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return simhash64(docs, "doc_id", "text")
+
+
+def _sql_simhash() -> str:
+    """DuckDB mirror of simhash64: term-frequency-weighted ±1 votes
+    per bit of the portable 60-bit hash, sign → fingerprint bit."""
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(60)
+    )
+    fp = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(60))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS tok
+  FROM documents WHERE doc_id < 300),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(tok),1,15) AS BIGINT) AS h FROM toks),
+bits AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM bits
+"""
+
+
+SQL_SIMHASH = _sql_simhash()
 
 
 def q_ann_brute_topk(spark, sf_dir):
@@ -910,6 +973,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users": SQL_DISTINCT_USERS,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "simhash": SQL_SIMHASH,
         "ann_brute_topk": SQL_ANN_BRUTE,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "lang_id": SQL_LANG_ID,

@@ -53,13 +53,28 @@ def jaccard_pairs(
     shingles_a: DataFrame,
     id_col: str,
     max_id_gap: int | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Pairwise Jaccard over shared shingles.
 
     Joins docs on shared shingles (only pairs with ≥1 common shingle
     materialize), counts the intersection, and derives the union from
     per-doc shingle counts: |A∪B| = |A|+|B|-|A∩B|.
+
+    ``max_df`` (document-frequency cutoff) is the corpus-scale guard:
+    a single stop-phrase shingle shared by 10⁶ docs would generate
+    10¹² join rows; dropping shingles that appear in more than
+    ``max_df`` documents bounds per-shingle join fan-out at max_df²
+    while near-duplicate pairs keep plenty of rare shingles. Jaccard
+    is then computed consistently over the *filtered* shingle space
+    (both intersections and per-doc counts).
     """
+    if max_df is not None:
+        dfreq = shingles_a.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        shingles_a = (
+            shingles_a.join(dfreq.filter(F.col("_df") <= max_df), "shingle")
+            .drop("_df")
+        )
     counts = shingles_a.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles_a.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles_a.select(F.col(id_col).alias("id_b"), "shingle")
@@ -170,19 +185,47 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, id_col: str, max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str, max_hamming: int = 8, bits: int = 60
+) -> DataFrame:
     """Near-dup pairs by Hamming distance on SimHash fingerprints.
 
-    Brute pair scan here (fine for candidate subsets); at corpus scale
-    block by bit-chunks first (pigeonhole: any pair within d shares
-    one of d+1 chunks) — same pattern as lsh_candidate_pairs.
+    Pigeonhole banding (the Manku/Jain/Sarma WWW'07 construction): the
+    ``bits``-bit fingerprint is split into ``max_hamming + 1``
+    contiguous chunks; a pair within Hamming distance ``max_hamming``
+    differs in at most that many bit positions, so at least one chunk
+    matches EXACTLY. Candidates come from an equi-join on
+    (chunk_idx, chunk_value) — no crossJoin — and are verified with an
+    exact ``bit_count(xor)``. Tighter thresholds give wider chunks →
+    exponentially smaller buckets; use small ``max_hamming`` at corpus
+    scale (the classic setting is 3-4 over 64 bits).
     """
-    a = sim.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"))
+    n_chunks = max_hamming + 1
+    base, rem = divmod(bits, n_chunks)
+    widths = [base + (1 if i < rem else 0) for i in range(n_chunks)]
+    starts = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            (
+                F.shiftright(F.col("simhash"), s).bitwiseAND(F.lit((1 << w) - 1))
+            ).cast("bigint")
+            for s, w in zip(starts, widths)
+        ]
+    )
+    banded = sim.select(
+        F.col(id_col), F.col("simhash"), F.posexplode(chunks).alias("chunk", "cval")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk", "cval"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk", "cval"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["chunk", "cval"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )

@@ -118,9 +118,13 @@ def lsh_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
-    hyperplane-sign bucket, then exact cosine rank within it."""
+    hyperplane-sign bucket, then exact cosine rank within it.
+
+    ``dim`` must be passed explicitly: inferring it would require a
+    driver-side action during operator *construction* (a hidden job
+    and a scheduling barrier inside plan building)."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError("lsh_topk requires an explicit embedding dim")
     e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
     e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
     q = queries.select("qid", quantized(F.col("qvec")).alias("qq"))
@@ -146,9 +150,10 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine ≥ threshold, LSH-bucketed
     (pairs in different buckets are missed — documented approximation;
-    raise n_planes for precision, lower for recall)."""
+    raise n_planes for precision, lower for recall). ``dim`` must be
+    passed explicitly (no driver action in operator construction)."""
     if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
+        raise ValueError("embedding_neardup_pairs requires an explicit dim")
     e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
     e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
     a = e.select(F.col(id_col).alias("id_a"), F.col("vq").alias("va"), "bucket")

@@ -73,6 +73,75 @@ def test_lsh_candidates_cover_high_jaccard_pairs(spark, docs):
     assert (0, 1) in cands
 
 
+def test_jaccard_max_df_drops_hot_shingles(spark):
+    """Adversarial corpus: one stop-phrase shingle in EVERY doc. The
+    max_df cutoff must keep the self-join off the hot shingle (pair
+    fan-out stays bounded) while true near-dups still pair up."""
+    n = 300
+    rows = [(i, f"common phrase everywhere unique{i} token{i} extra{i}") for i in range(n)]
+    rows.append((n, "common phrase everywhere unique0 token0 extra0"))  # dup of 0
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sh = word_shingles(df, "doc_id", "text", n=2)
+    pairs = jaccard_pairs(sh, "doc_id", max_df=10)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # the hot shingles ('common phrase', 'phrase everywhere') are in
+    # all 301 docs -> dropped; only the planted dup shares rare ones
+    assert (0, n) in got and got[(0, n)] == 1.0
+    assert len(got) == 1  # no all-pairs explosion through hot shingles
+
+
+def test_jaccard_max_df_filters_consistently(spark, docs):
+    """With a cutoff below every DF, output is empty; with a cutoff
+    above every DF, output equals the uncut operator."""
+    sh = word_shingles(docs, "doc_id", "text", n=2)
+    uncut = {(r["id_a"], r["id_b"], r["jaccard"]) for r in jaccard_pairs(sh, "doc_id").collect()}
+    loose = {(r["id_a"], r["id_b"], r["jaccard"]) for r in jaccard_pairs(sh, "doc_id", max_df=1000).collect()}
+    assert loose == uncut
+
+
+def test_simhash_banding_equivalent_to_brute(spark):
+    """The pigeonhole-banded near-pair join must return EXACTLY the
+    brute-force pair set (banding is candidate generation only; the
+    exact Hamming verify keeps semantics identical)."""
+    import random
+
+    rng = random.Random(3)
+    words = [f"w{i}" for i in range(50)]
+    rows = [
+        (i, " ".join(rng.choices(words, k=12)))
+        for i in range(60)
+    ]
+    # planted near-dups
+    rows.append((100, rows[0][1] + " tail"))
+    rows.append((101, rows[0][1]))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sim = simhash64(df, "doc_id", "text")
+    fps = {r["doc_id"]: r["simhash"] for r in sim.collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    for d in (4, 10):
+        brute = {
+            (a, b, ham(fps[a], fps[b]))
+            for a in fps
+            for b in fps
+            if a < b and ham(fps[a], fps[b]) <= d
+        }
+        banded = {
+            (r["id_a"], r["id_b"], r["hamming"])
+            for r in simhash_near_pairs(sim, "doc_id", max_hamming=d).collect()
+        }
+        assert banded == brute
+
+
+def test_simhash_near_pairs_plan_has_no_cross_join(spark, docs):
+    sim = simhash64(docs, "doc_id", "text")
+    plan = simhash_near_pairs(sim, "doc_id", max_hamming=4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_simhash_hamming_ordering(spark, docs):
     sim = simhash64(docs, "doc_id", "text")
     rows = {r["doc_id"]: r["simhash"] for r in sim.collect()}

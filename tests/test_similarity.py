@@ -75,3 +75,20 @@ def test_neardup_pairs_planted(spark, emb):
     pairs = embedding_neardup_pairs(emb, threshold=0.99, n_planes=4, dim=DIM).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
+
+
+def test_no_driver_action_in_operator_construction():
+    """Plan-audit: building an LSH operator must not run a Spark job
+    (no .first()/.collect()/.count() in the operator module)."""
+    import inspect
+
+    import notjusthtml_searchengine_spark.operators.similarity as s
+
+    src = inspect.getsource(s)
+    for action in (".first()", ".collect()", ".count()", ".take("):
+        assert action not in src, action
+
+
+def test_lsh_requires_explicit_dim(spark, emb):
+    with pytest.raises(ValueError):
+        lsh_topk(emb, _queries(emb), k=3, n_planes=4)
