@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import schemas
-from ..extract.udfs import extract_links_flat, sniff_udf
+from ..extract.udfs import extract_links_flat
 from ..session import MAX_FILESIZE
 
 
@@ -39,20 +39,25 @@ def read_page_stream(
 
 
 def stream_links(pages: DataFrame) -> DataFrame:
-    """Gates (P3/P4/P5) + flat link extraction over a page stream."""
+    """Gates (P3/P4/P5) + flat link extraction over a page stream.
+
+    The P5 html-sniff gate runs INSIDE the extraction kernel
+    (``sniff_gate=True``) — chaining a separate pandas-UDF sniff
+    filter in front of mapInPandas doubles the JVM↔Python Arrow
+    hops over the fat html column (measured ~7× slower on the batch
+    path, BENCH/BASELINE.md); the stream keeps the same single
+    Python stage. The suffix skip is a JVM filter and case-sensitive
+    (html.go:169 parity, same as the batch round)."""
     ok = pages.filter(
         F.col("html").isNotNull()
         & (F.length("html") > 0)
         & (F.length("html") < F.lit(MAX_FILESIZE))
+        & ~F.col("url").rlike(r"\.(jpeg|png|jpg)$")
     )
-    htmlable = ok.withColumn("content_type", sniff_udf("html")).filter(
-        F.col("content_type").startswith("text/html")
-        & ~F.lower(F.col("url")).rlike(r"\.(jpeg|png|jpg)$")
-    )
-    src = htmlable.select(
+    src = ok.select(
         F.col("url").alias("origin_url"), F.col("warc_ts"), F.col("html")
     )
-    flat = extract_links_flat(src, url_col="origin_url")
+    flat = extract_links_flat(src, url_col="origin_url", sniff_gate=True)
     return flat.filter(F.col("kw_idx").isNull() | (F.col("kw_idx") == 0)).select(
         "origin_url",
         "dest_url",

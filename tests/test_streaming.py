@@ -64,6 +64,20 @@ def test_stream_links_drain_and_resume(spark, stream_dirs, corpus):
     assert spark.read.parquet(stream_dirs["out"]).count() == n1
 
 
+def test_stream_links_single_python_stage(spark, stream_dirs):
+    """Plan audit: the streaming ingest DAG must contain exactly ONE
+    Python/Arrow node (the fused extraction kernel) — a chained sniff
+    UDF stage would double the Arrow hops over the fat html column.
+    The logical transformation is identical for batch and streaming
+    (same function over an unbounded table), so audit it on the batch
+    plan where the executed plan is materializable."""
+    pages = spark.read.schema(schemas.PAGES).parquet(stream_dirs["in"])
+    links = stream_links(pages)
+    p = links._jdf.queryExecution().executedPlan().toString()
+    assert p.count("MapInPandas") + p.count("PythonMapInArrow") == 1
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
 def test_windowed_stats_batch_equivalence(spark, stream_dirs):
     """Window aggregation logic validated on the same data in batch
     mode (streaming window semantics == batch date_trunc grouping)."""
