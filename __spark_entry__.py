@@ -883,6 +883,76 @@ def q_video_frame_sample(spark, sf_dir):
     )
 
 
+def q_faces_search(spark, sf_dir):
+    """S11+F16: the reference's face-search capability over the faces
+    sink layout (faceRecognition.go:13-19) — detect faces, then each
+    face's nearest neighbor by euclidean descriptor distance."""
+    from notjusthtml_searchengine_spark.media.faces import detect_faces, face_distance
+
+    faces = detect_faces(_media_payloads(spark), body_col="payload", detector="fake")
+    f = faces.withColumn(
+        "face_id", F.xxhash64("content_id", F.col("rectangle.x0"), F.col("rectangle.y0"))
+    )
+    a = f.select(F.col("face_id").alias("id_a"), F.col("descriptor").alias("da"))
+    b = f.select(F.col("face_id").alias("id_b"), F.col("descriptor").alias("db"))
+    scored = a.join(b, F.col("id_a") != F.col("id_b")).withColumn(
+        "dist", F.round(face_distance(F.col("da"), F.col("db")), 4)
+    )
+    w = Window.partitionBy("id_a").orderBy(F.asc("dist"), F.asc("id_b"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("id_a", F.col("id_b").alias("nearest_id"), "dist")
+    )
+
+
+def q_dim_lookup_join(spark, sf_dir):
+    """Materialized-dimension pattern (database.go:143-215): build
+    domain + content-type dims with deterministic hash ids from the
+    facts, join back, aggregate. Uses the portable md5 hash for ids so
+    DuckDB reproduces them bit-identically (the engine itself uses
+    xxhash64 — same construction)."""
+    from notjusthtml_searchengine_spark.operators.textops import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    facts = docs.select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")).alias("domain"),
+        F.when(F.col("doc_id") % 5 == 0, "image/png")
+        .when(F.col("doc_id") % 5 == 1, "image/jpeg")
+        .otherwise("text/html; charset=utf-8")
+        .alias("content_type"),
+    )
+    domains = facts.select(
+        portable_hash64(F.col("domain")).alias("domain_id"), "domain"
+    ).dropDuplicates(["domain_id"])
+    cts = facts.select(
+        portable_hash64(F.col("content_type")).alias("content_type_id"), "content_type"
+    ).dropDuplicates(["content_type_id"])
+    return (
+        facts.join(F.broadcast(domains), "domain")
+        .join(F.broadcast(cts), "content_type")
+        .groupBy("domain_id", "domain", "content_type_id", "content_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+SQL_DIM_LOOKUP = """
+WITH facts AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 20 AS VARCHAR) || '.example' AS domain,
+         CASE doc_id % 5 WHEN 0 THEN 'image/png' WHEN 1 THEN 'image/jpeg'
+              ELSE 'text/html; charset=utf-8' END AS content_type
+  FROM documents),
+domains AS (SELECT DISTINCT CAST('0x'||substr(md5(domain),1,15) AS BIGINT) AS domain_id, domain FROM facts),
+cts AS (SELECT DISTINCT CAST('0x'||substr(md5(content_type),1,15) AS BIGINT) AS content_type_id, content_type FROM facts)
+SELECT d.domain_id, f.domain, c.content_type_id, f.content_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM facts f JOIN domains d USING (domain) JOIN cts c USING (content_type)
+GROUP BY 1, 2, 3, 4
+"""
+
+
 def q_faces_detect(spark, sf_dir):
     """U7: face detection plumbing (deterministic fake detector) +
     128-d descriptor output ready for F16 distance search."""
@@ -943,12 +1013,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visible_text": q_crawl_visible_text,
         "content_sniff": q_content_sniff,
         "url_canonicalize": q_url_canonicalize,
+        "dim_lookup_join": q_dim_lookup_join,
         # multimodal plumbing (binary payloads; decode stubbed where
         # the container lacks codecs — see operators/multimodal.py)
         "media_meta": q_media_meta,
         "image_features": q_image_features,
         "video_frame_sample": q_video_frame_sample,
         "faces_detect": q_faces_detect,
+        "faces_search": q_faces_search,
     }
 
 
@@ -971,6 +1043,7 @@ def oracle_sql() -> dict[str, str]:
         "url_host": SQL_URL_HOST,
         "rollup_revenue": SQL_ROLLUP,
         "distinct_users": SQL_DISTINCT_USERS,
+        "dim_lookup_join": SQL_DIM_LOOKUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--max-rounds", type=int, default=100)
     ap.add_argument("--no-bloom", action="store_true")
     ap.add_argument("--no-media", action="store_true")
+    ap.add_argument(
+        "--face-detector", default="none",
+        help="face detector plugin: none | fake | <model name>",
+    )
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
@@ -44,6 +48,7 @@ def main() -> None:
         per_host_budget=args.per_host_budget,
         bloom_prefilter=not args.no_bloom,
         media=not args.no_media,
+        face_detector=args.face_detector,
         n_buckets=args.buckets,
     )
     eng = CrawlEngine(spark, args.pages, args.seeds, args.flagged, args.robots, cfg)

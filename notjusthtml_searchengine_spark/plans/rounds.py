@@ -60,7 +60,12 @@ class CrawlConfig:
     shard_bits: int = 1 << 20  # per-shard bloom bits (scale: size per bucket)
     salt: int = 8  # hot-host salting fan-out before extraction
     media: bool = True
+    # face detector plugged into media/faces.py: "none" mirrors the
+    # reference run without model files (no Face rows); "fake" is the
+    # deterministic stub; a real model slots in by name.
+    face_detector: str = "none"
     write_blobs: bool = True
+    dim_tables: bool = True  # sites/domains/content_types sinks
     compact_seen_every: int = 8
     lineage_metrics: bool = True
     extra: dict = field(default_factory=dict)
@@ -239,6 +244,51 @@ class CrawlEngine:
         )
         pending.append((contents, "contents"))
 
+        # ---- J1/J3/J4 dimension tables (reference database.go:143-215:
+        # sites / domains / content_types as first-class queryable
+        # tables). Ids are deterministic xxhash64 of the natural key, so
+        # the dim row is derivable — but the reference exposes them as
+        # tables ("list crawled domains" must not rescan contents), so
+        # each round left-anti-inserts the new keys. NOTE: the glob read
+        # below resolves its file list at plan-construction time (before
+        # this round's dirs exist), so the concurrent sink writes cannot
+        # race it.
+        if cfg.dim_tables:
+            dims = [
+                (
+                    "sites",
+                    schemas.SITES,
+                    "site_id",
+                    ok.select("site_id", F.col("url_norm").alias("url")),
+                ),
+                (
+                    "domains",
+                    schemas.DOMAINS,
+                    "domain_id",
+                    ok.select(
+                        F.xxhash64("host").alias("domain_id"),
+                        F.col("host").alias("domain"),
+                    ),
+                ),
+                (
+                    "content_types",
+                    schemas.CONTENT_TYPES,
+                    "content_type_id",
+                    ok.select(
+                        F.xxhash64("content_type").alias("content_type_id"),
+                        "content_type",
+                    ),
+                ),
+            ]
+            for dim_name, dim_schema, key, dim_df in dims:
+                d = dim_df.dropDuplicates([key])
+                if r > 1:
+                    existing = self.spark.read.schema(dim_schema).parquet(
+                        self.state.sink_glob(dim_name)
+                    )
+                    d = d.join(existing.select(key), key, "left_anti")
+                pending.append((d, dim_name))
+
         if cfg.write_blobs:
             blob_glob = self.state.sink_glob("content_blobs")
             new_blobs = ok.select("sha1", F.col("html").alias("content")).dropDuplicates(
@@ -294,6 +344,18 @@ class CrawlEngine:
                 F.lit(schemas.ERROR_CODES["ErrorPerceptualHash"]).cast("int").alias("error_code"),
                 F.col("ph.error").alias("error_text"),
             )
+            # S11 faces sink: one row per detected face per image
+            # (reference html.go:146-159 → faceRecognition.go:13-19,
+            # Face table DDL database.go:134). Detector is pluggable
+            # (no model ships in this sandbox — see media/faces.py).
+            if cfg.face_detector != "none":
+                from ..media.faces import detect_faces
+
+                faces = detect_faces(
+                    imgs, body_col="html", id_col="content_id",
+                    detector=cfg.face_detector,
+                )
+                pending.append((faces, "faces"))
 
         # ---- P5/P6 + U1: link extraction (flat: one row per keyword,
         # all-scalar Arrow transfer; links/keywords are shuffle-free

@@ -36,6 +36,10 @@ class CrawlState:
         "round_stats",
         "perceptual_hashes",
         "exif_info",
+        "faces",
+        "sites",
+        "domains",
+        "content_types",
     )
 
     def __init__(self, root: str):

@@ -183,6 +183,32 @@ FACES = T.StructType(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# Dimension tables (reference database.go:143-215): sites / domains /
+# content_types as first-class queryable tables. Ids are xxhash64 of
+# the natural key (SURVEY §1.1) — deterministic, no sequence service.
+# ---------------------------------------------------------------------------
+SITES = T.StructType(
+    [
+        T.StructField("site_id", T.LongType(), False),
+        T.StructField("url", T.StringType(), False),
+    ]
+)
+
+DOMAINS = T.StructType(
+    [
+        T.StructField("domain_id", T.LongType(), False),
+        T.StructField("domain", T.StringType(), True),
+    ]
+)
+
+CONTENT_TYPES = T.StructType(
+    [
+        T.StructField("content_type_id", T.LongType(), False),
+        T.StructField("content_type", T.StringType(), False),
+    ]
+)
+
 # Error codes mirror errorHandling.go:19-32 (10 values). The reference
 # has a quirk: it always *stores* ErrorParsingHtml regardless of the
 # passed code (errorHandling.go:40); we store the real code and note

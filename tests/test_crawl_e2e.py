@@ -67,6 +67,7 @@ def run_pair(request, spark, corpus, corpus_dir, tmp_path_factory):
         n_buckets=8,
         shard_bits=1 << 16,
         compact_seen_every=3,
+        face_detector="fake",
     )
     stats = eng.run(max_rounds=MAX_ROUNDS)
     sim = Simulator(corpus, per_host_budget=5, round_budget=None, use_robots=True)
@@ -166,6 +167,43 @@ def test_media_sinks_populated(spark, run_pair):
     errs = _read_sink(spark, state_dir, "errors", schemas.ERRORS)
     # JPEG phash decode is stubbed → ErrorPerceptualHash rows exist
     assert errs.filter(F.col("error_code") == 8).count() > 0
+
+
+def test_faces_sink_populated(spark, run_pair):
+    """S11 faces: one row per detected face per crawled image
+    (html.go:146-159), with the 128-d descriptor ready for F16
+    distance search."""
+    faces = _read_sink(spark, run_pair[3], "faces", schemas.FACES)
+    rows = faces.collect()
+    assert len(rows) > 0
+    assert all(len(r["descriptor"]) == 128 for r in rows)
+    # every face belongs to a crawled image content row
+    ph = _read_sink(spark, run_pair[3], "perceptual_hashes", schemas.PERCEPTUAL_HASHES)
+    img_ids = {r["content_id"] for r in ph.select("content_id").collect()}
+    errs = _read_sink(spark, run_pair[3], "errors", schemas.ERRORS)
+    # (jpegs fail phash-decode but still face-detect; just assert the
+    # descriptor explode produced plausible multiplicities)
+    per_img = faces.groupBy("content_id").count().collect()
+    assert all(1 <= r["count"] <= 2 for r in per_img)  # fake detector emits 0..2
+
+
+def test_dimension_sinks(spark, run_pair):
+    """sites/domains/content_types materialized per round with
+    left-anti inserts: keys unique across the whole crawl, and every
+    contents row's foreign ids resolve."""
+    state_dir = run_pair[3]
+    sites = _read_sink(spark, state_dir, "sites", schemas.SITES).collect()
+    assert len(sites) == len({r["site_id"] for r in sites}) > 0
+    domains = _read_sink(spark, state_dir, "domains", schemas.DOMAINS).collect()
+    assert len(domains) == len({r["domain_id"] for r in domains}) > 0
+    cts = _read_sink(spark, state_dir, "content_types", schemas.CONTENT_TYPES).collect()
+    assert len(cts) == len({r["content_type_id"] for r in cts}) > 0
+    contents = _read_sink(spark, state_dir, "contents", schemas.CONTENTS)
+    ct_ids = {r["content_type_id"] for r in cts}
+    site_ids = {r["site_id"] for r in sites}
+    for row in contents.select("content_type_id", "site_id").collect():
+        assert row["content_type_id"] in ct_ids
+        assert row["site_id"] in site_ids
 
 
 def test_lineage_metrics_written(spark, run_pair):
