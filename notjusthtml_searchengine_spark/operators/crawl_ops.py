@@ -115,14 +115,35 @@ def drain_frontier(
 
 
 # ---------------------------------------------------------------------------
-# J6 — the "fetch": frontier batch ⋈ pages corpus. The batch is small
-# relative to the corpus → broadcast it so the corpus is never shuffled
-# and dynamic partition pruning can prune bucket directories.
+# J6 — the "fetch": frontier batch ⋈ pages corpus, split hit/miss.
+#
+# Spark cannot broadcast the PRESERVED side of a left-outer join — the
+# naive ``broadcast(batch).join(pages, 'left')`` hint is silently
+# ignored (HintErrorLogger: "build left for left outer join") and the
+# plan degenerates to a sort-merge join that shuffles the ENTIRE
+# corpus every round. So the fetch is an INNER join (batch broadcast,
+# corpus never moves) and misses are recovered with a skinny anti-join
+# against the (persisted) hit set.
 # ---------------------------------------------------------------------------
-def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
-    """Left join so unfetchable URLs surface as error rows (html=null)."""
-    return F.broadcast(batch.select("url_norm", "host", "priority", "depth", "url_hash")).join(
-        pages, batch["url_norm"] == pages["url"], "left"
+BATCH_COLS = ("url_norm", "host", "priority", "depth", "url_hash")
+
+
+def fetch_hits(batch: DataFrame, pages: DataFrame, broadcast_batch: bool = True) -> DataFrame:
+    """batch ⋈_inner pages on url. With ``broadcast_batch`` the corpus
+    side is never shuffled; beyond broadcast reach (10⁷-row rounds)
+    pass False for a shuffle-hash join — at that scale the pages table
+    should be bucketed by url hash so only the batch side shuffles."""
+    b = batch.select(*BATCH_COLS)
+    bb = F.broadcast(b) if broadcast_batch else b.hint("SHUFFLE_HASH")
+    return pages.join(bb, pages["url"] == b["url_norm"], "inner")
+
+
+def fetch_misses(batch: DataFrame, hits: DataFrame) -> DataFrame:
+    """batch rows whose URL is absent from the corpus (error side E2).
+    Skinny anti-join — callers pass the persisted hit frame so the fat
+    columns are never rescanned."""
+    return batch.select(*BATCH_COLS).join(
+        hits.select("url_norm"), "url_norm", "left_anti"
     )
 
 
@@ -130,7 +151,9 @@ def fetch_join(batch: DataFrame, pages: DataFrame) -> DataFrame:
 # P3/P4 gates (html.go:61-64, :82-85) — split ok/error sides (E2).
 # ---------------------------------------------------------------------------
 def gate_fetched(fetched: DataFrame) -> DataFrame:
-    """Adds a gate column; callers filter on it. html NULL = fetch miss."""
+    """Adds a gate column; callers filter on it. (html NULL = fetch
+    miss only arises when callers join misses back in; the round
+    driver surfaces misses via fetch_misses instead.)"""
     return fetched.withColumn(
         "gate",
         F.when(F.col("html").isNull(), F.lit("miss"))

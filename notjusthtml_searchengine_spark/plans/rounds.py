@@ -66,6 +66,9 @@ class CrawlConfig:
     face_detector: str = "none"
     write_blobs: bool = True
     dim_tables: bool = True  # sites/domains/content_types sinks
+    # J6 fetch: broadcast the batch below this row count, else
+    # shuffle-hash (pages bucketed by url hash at that scale)
+    fetch_broadcast_rows: int = 4_000_000
     compact_seen_every: int = 8
     lineage_metrics: bool = True
     extra: dict = field(default_factory=dict)
@@ -182,10 +185,14 @@ class CrawlEngine:
         rest = frontier.join(batch.select("url_norm"), "url_norm", "left_anti")
 
         # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
-        # column-prune before the shuffle: text/lang are never used in
-        # the round (text regeneration is a test-side invariant)
-        fetched = ops.fetch_join(
-            batch, self.pages.select("url", "warc_ts", "html")
+        # column-prune before the join: text/lang are never used in
+        # the round (text regeneration is a test-side invariant).
+        # Inner-join + broadcast batch: the corpus is never shuffled;
+        # misses are recovered below from the persisted hit frame.
+        fetched = ops.fetch_hits(
+            batch,
+            self.pages.select("url", "warc_ts", "html"),
+            broadcast_batch=n_batch <= cfg.fetch_broadcast_rows,
         )
         gated = ops.gate_fetched(fetched)
         # Salted redistribution before the fat UDFs spreads hot hosts
@@ -212,15 +219,22 @@ class CrawlEngine:
             .withColumn("time_found", F.unix_micros("warc_ts"))
         )
 
+        missed = ops.fetch_misses(batch, gated)
         err_gate = gated.filter(F.col("gate") != "ok").select(
             F.lit(r).alias("round"),
             F.col("url_norm").alias("url"),
-            F.when(F.col("gate") == "miss", schemas.ERROR_CODES["ErrorFetchMissing"])
-            .when(F.col("gate") == "too_big", schemas.ERROR_CODES["ErrorResponseToBig"])
+            F.when(F.col("gate") == "too_big", schemas.ERROR_CODES["ErrorResponseToBig"])
             .otherwise(schemas.ERROR_CODES["ErrorBodyLenZero"])
             .cast("int")
             .alias("error_code"),
             F.col("gate").alias("error_text"),
+        ).unionByName(
+            missed.select(
+                F.lit(r).alias("round"),
+                F.col("url_norm").alias("url"),
+                F.lit(schemas.ERROR_CODES["ErrorFetchMissing"]).cast("int").alias("error_code"),
+                F.lit("miss").alias("error_text"),
+            )
         )
 
         # Sink writes are deferred: persisted parents are materialized

@@ -80,6 +80,30 @@ def test_whole_stage_codegen_on_jvm_sniff(spark, corpus):
     assert "*(1)" in p  # whole-stage codegen span covers the projection
 
 
+def test_fetch_join_broadcasts_batch_builds_right(spark):
+    """J6: the fetch must be an inner join with the BATCH broadcast as
+    the build side — the corpus side must never be exchanged. (The old
+    broadcast-hint-on-left-outer form was silently ignored by Spark
+    and degenerated to a full-corpus sort-merge shuffle per round.)"""
+    from notjusthtml_searchengine_spark.operators import crawl_ops as ops
+
+    pages = spark.createDataFrame(
+        [("http://a.example/x", None, bytearray(b"<html></html>"))],
+        "url string, warc_ts timestamp, html binary",
+    )
+    batch = spark.createDataFrame(
+        [("http://a.example/x", "a.example", 90, 0, 1)],
+        "url_norm string, host string, priority int, depth int, url_hash long",
+    )
+    hits = ops.fetch_hits(batch, pages)
+    p = plan_of(hits, mode="simple")
+    assert "BroadcastHashJoin" in p and "BuildRight" in p
+    assert "SortMergeJoin" not in p
+    misses = ops.fetch_misses(batch, hits)
+    pm = plan_of(misses, mode="simple")
+    assert "LeftAnti" in pm
+
+
 def test_extraction_is_single_python_stage(spark):
     """Exactly one Arrow/Python node between the page scan and the
     flat link rows (the fused sniff gate keeps it to one hop)."""
