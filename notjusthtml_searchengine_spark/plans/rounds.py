@@ -113,9 +113,9 @@ class CrawlEngine:
             .withColumn("round_added", F.lit(0))
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
-        self._write(frontier, r, "frontier")
+        self.state.write_bucketed(frontier, r, "frontier", self.cfg.n_buckets)
         empty_seen = self.spark.createDataFrame([], schemas.SEEN)
-        self._write(empty_seen, r, "seen_full")
+        self.state.write_bucketed(empty_seen, r, "seen_full", self.cfg.n_buckets)
         if self.cfg.bloom_prefilter:
             shards = bloom_ops.build_shards(
                 seeds.limit(0), self.cfg.n_buckets, self.cfg.shard_bits
@@ -128,6 +128,7 @@ class CrawlEngine:
                 "frontier": f"r{r:05d}/frontier",
                 "bloom": f"r{r:05d}/bloom" if self.cfg.bloom_prefilter else None,
                 "pages_fetched": 0,
+                "n_buckets": self.cfg.n_buckets,
             },
         )
 
@@ -137,9 +138,21 @@ class CrawlEngine:
         df.write.mode("overwrite").parquet(path)
         return path
 
-    def _read_seen(self, parts: list[str]) -> DataFrame:
-        paths = [os.path.join(self.state.root, "rounds", p) for p in parts]
-        return self.spark.read.schema(schemas.SEEN).parquet(*paths)
+    def _seen_parts(self, parts: list[str], n_buckets: int) -> list[DataFrame]:
+        from .state import SEEN_DDL
+
+        return [
+            self.state.read_bucketed(self.spark, p, SEEN_DDL, n_buckets)
+            for p in parts
+        ]
+
+    def _read_seen(self, parts: list[str], n_buckets: int | None = None) -> DataFrame:
+        """Union view of all seen parts (membership queries/tests)."""
+        dfs = self._seen_parts(parts, n_buckets or self.cfg.n_buckets)
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def _lineage(self, dfs: dict[str, DataFrame], r: int) -> DataFrame:
         """Per-partition lineage rows (north_rule) in one unioned job."""
@@ -165,11 +178,14 @@ class CrawlEngine:
         cfg = self.cfg
         prev = self.state.manifest(r - 1)
         assert prev is not None, f"round {r - 1} not committed"
-        frontier = self.spark.read.schema(schemas.FRONTIER).parquet(
-            os.path.join(self.state.root, "rounds", prev["stats"]["frontier"])
+        from .state import FRONTIER_DDL
+
+        n_buckets = int(prev["stats"].get("n_buckets", cfg.n_buckets))
+        frontier = self.state.read_bucketed(
+            self.spark, prev["stats"]["frontier"], FRONTIER_DDL, n_buckets
         )
         seen_parts: list[str] = prev["stats"]["seen_parts"]
-        seen = self._read_seen(seen_parts)
+        seen_dfs = self._seen_parts(seen_parts, n_buckets)
 
         # ---- W1/W2: drain --------------------------------------------
         host_caps = None
@@ -182,7 +198,8 @@ class CrawlEngine:
         if n_batch == 0:
             batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
-        rest = frontier.join(batch.select("url_norm"), "url_norm", "left_anti")
+        # url_hash identity: the bucketed frontier side never shuffles
+        rest = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
 
         # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
         # column-prune before the join: text/lang are never used in
@@ -426,8 +443,10 @@ class CrawlEngine:
             "priority",
             (F.col("depth") + 1).alias("depth"),
         )
-        cands = ops.collapse_candidates(cands).withColumn(
-            "host", F.expr("parse_url(url_norm, 'HOST')")
+        cands = (
+            ops.collapse_candidates(cands)
+            .withColumn("host", F.expr("parse_url(url_norm, 'HOST')"))
+            .withColumn("url_hash", F.xxhash64("url_norm"))
         )
         if self.robots is not None:
             cands = ops.robots_filter(cands, self.robots)
@@ -441,29 +460,24 @@ class CrawlEngine:
             ).persist(_CACHE)
             negatives = probed.filter(~F.col("maybe_seen")).drop("maybe_seen", "bucket")
             positives = probed.filter(F.col("maybe_seen")).drop("maybe_seen", "bucket")
-            # exact check for bloom-positives only: two broadcast joins,
-            # the seen table is scanned but never shuffled.
-            seen_matches = seen.select("url_norm").join(
-                F.broadcast(positives.select("url_norm")), "url_norm", "left_semi"
-            )
-            new_from_pos = positives.join(
-                F.broadcast(seen_matches), "url_norm", "left_anti"
-            )
+            # exact check for bloom-positives only: co-partitioned
+            # anti-joins against the bucketed seen parts — the seen
+            # side is never shuffled OR broadcast-collected (in steady
+            # state positives ≈ the whole candidate set, so the old
+            # broadcast-the-positives shortcut was an OOM at scale).
+            new_from_pos = ops.seen_anti_join_parts(positives, seen_dfs)
             new = negatives.unionByName(new_from_pos).persist(_CACHE)
         else:
-            new = ops.seen_anti_join(cands, seen).persist(_CACHE)
+            new = ops.seen_anti_join_parts(cands, seen_dfs).persist(_CACHE)
 
-        seen_delta = new.select(
-            "url_norm", F.xxhash64("url_norm").alias("url_hash"), F.lit(r).alias("round_seen")
-        )
+        seen_delta = new.select("url_norm", "url_hash", F.lit(r).alias("round_seen"))
 
         # compaction: every N rounds rewrite one merged seen table
         if r % cfg.compact_seen_every == 0:
-            merged = seen.unionByName(seen_delta)
-            pending.append((
-                merged.repartition(cfg.n_buckets, F.pmod("url_hash", F.lit(cfg.n_buckets))),
-                "seen_full",
-            ))
+            merged = seen_delta
+            for d in seen_dfs:
+                merged = merged.unionByName(d)
+            pending.append((merged, "seen_full"))
             new_seen_parts = [f"r{r:05d}/seen_full"]
         else:
             pending.append((seen_delta, "seen_delta"))
@@ -475,7 +489,7 @@ class CrawlEngine:
             "priority",
             "depth",
             F.lit(r).alias("round_added"),
-            F.xxhash64("url_norm").alias("url_hash"),
+            "url_hash",
         )
         frontier_next = rest.unionByName(new_frontier)
         pending.append((frontier_next, "frontier"))
@@ -511,8 +525,17 @@ class CrawlEngine:
 
         from concurrent.futures import ThreadPoolExecutor
 
+        bucketed_names = {"frontier", "seen_delta", "seen_full"}
+
+        def _flush(t):
+            df, name = t
+            if name in bucketed_names:
+                self.state.write_bucketed(df, r, name, cfg.n_buckets)
+            else:
+                self._write(df, r, name)
+
         with ThreadPoolExecutor(max_workers=int(cfg.extra.get("write_threads", 6))) as pool:
-            list(pool.map(lambda t: self._write(t[0], r, t[1]), pending))
+            list(pool.map(_flush, pending))
 
         if cfg.lineage_metrics:
             lineage = self._lineage(
@@ -531,6 +554,7 @@ class CrawlEngine:
             "errors": n_errors,
             "batch": n_batch,
             "wall_ms": wall_ms,
+            "n_buckets": cfg.n_buckets,
         }
         round_stats = self.spark.createDataFrame(
             [

@@ -16,10 +16,20 @@ implementation can slot in behind it.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
 import tempfile
+
+# DDL for the bucketed state tables (used to re-register the external
+# tables in a fresh session after a restart — the bucket spec lives in
+# the catalog entry; the data files carry bucket ids in their names).
+SEEN_DDL = "url_norm STRING, url_hash BIGINT, round_seen INT"
+FRONTIER_DDL = (
+    "url_norm STRING, host STRING, priority INT, depth INT, "
+    "round_added INT, url_hash BIGINT"
+)
 
 
 class CrawlState:
@@ -97,3 +107,55 @@ class CrawlState:
     def sink_glob(self, name: str) -> str:
         """Read-path glob for a sink across all rounds."""
         return os.path.join(self.root, "rounds", "r*", name)
+
+    # -- bucketed state tables (SURVEY §4.2) ---------------------------
+    # seen/frontier are written as parquet tables bucketed by
+    # pmod-hash(url_hash) so the load-bearing anti-joins (J2/E1) never
+    # exchange the state side: the scan reports HashPartitioning and
+    # only the (much smaller) per-round candidate side shuffles — once,
+    # reused across the whole per-part join chain. This is the
+    # plain-parquet stand-in for an Iceberg bucket-transform table; the
+    # interface stays format-agnostic.
+
+    def bucketed_table_name(self, rel: str) -> str:
+        h = hashlib.md5(f"{self.root}:{rel}".encode()).hexdigest()[:12]
+        return f"njh_bkt_{h}"
+
+    def write_bucketed(
+        self, df, r: int, name: str, n_buckets: int, bucket_col: str = "url_hash"
+    ) -> str:
+        """Write + register a bucketed state table for round ``r``.
+
+        The repartition aligns tasks with buckets (HashPartitioning and
+        the bucket-id expression use the same hash), so each bucket is
+        exactly one file — keeps file counts flat across rounds.
+        """
+        from pyspark.sql import functions as F
+
+        rel = f"r{r:05d}/{name}"
+        tbl = self.bucketed_table_name(rel)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        (
+            df.repartition(n_buckets, F.col(bucket_col))
+            .write.format("parquet")
+            .option("path", self.table_path(r, name))
+            .mode("overwrite")
+            .bucketBy(n_buckets, bucket_col)
+            .saveAsTable(tbl)
+        )
+        return rel
+
+    def read_bucketed(
+        self, spark, rel: str, ddl: str, n_buckets: int, bucket_col: str = "url_hash"
+    ):
+        """Resolve a bucketed state table, re-registering the external
+        table from DDL if this session has not seen it (restart)."""
+        tbl = self.bucketed_table_name(rel)
+        path = os.path.join(self.root, "rounds", rel)
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {tbl} ({ddl}) USING PARQUET "
+            f"CLUSTERED BY ({bucket_col}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+        return spark.table(tbl)

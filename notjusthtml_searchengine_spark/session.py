@@ -31,6 +31,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.parquet.columnarReaderBatchSize": "512",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # bucketed state tables are EXTERNAL (option("path")); the
+    # warehouse dir only hosts catalog scratch — keep it out of cwd
+    "spark.sql.warehouse.dir": os.environ.get(
+        "SPARK_GRAFT_WAREHOUSE", "/tmp/njh_spark_warehouse"
+    ),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Throughput GC: G1's region machinery collapses under many task
     # threads churning fat (tens-of-KB) byte[] rows — measured 20x

@@ -104,6 +104,57 @@ def test_fetch_join_broadcasts_batch_builds_right(spark):
     assert "LeftAnti" in pm
 
 
+def test_bucketed_seen_anti_join_copartitioned(spark, tmp_path):
+    """J2 at scale: seen parts are bucketed tables → the seen side has
+    NO Exchange (bucketed scan) even above the broadcast threshold;
+    the candidate side exchanges exactly ONCE, and that partitioning
+    is reused by every later join in the per-part chain. Also covers
+    restart: the catalog entry is dropped and re-registered from DDL
+    before reading."""
+    from notjusthtml_searchengine_spark.operators.crawl_ops import (
+        seen_anti_join_parts,
+    )
+    from notjusthtml_searchengine_spark.plans.state import SEEN_DDL, CrawlState
+
+    state = CrawlState(str(tmp_path))
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .select(F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url_norm"))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+        .withColumn("round_seen", F.lit(1))
+    )
+    rels = [
+        state.write_bucketed(mk(0, 3000), 1, "seen_delta", 8),
+        state.write_bucketed(mk(3000, 5000), 2, "seen_delta", 8),
+    ]
+    # simulate a fresh session after restart: catalog entries gone
+    for rel in rels:
+        spark.sql(f"DROP TABLE IF EXISTS {state.bucketed_table_name(rel)}")
+    parts = [state.read_bucketed(spark, rel, SEEN_DDL, 8) for rel in rels]
+
+    cands = (
+        spark.range(4000, 9000)
+        .select(F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url_norm"))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+        .withColumn("priority", F.lit(90))
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        new = seen_anti_join_parts(cands, parts)
+        plan = new._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan  # candidate side only
+        assert "Bucketed: true" in plan  # seen side is a bucketed scan
+        assert plan.count("LeftAnti") == 2
+        assert "BroadcastExchange" not in plan
+        assert new.count() == 4000  # 4000..4999 seen; 5000..8999 new
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_extraction_is_single_python_stage(spark):
     """Exactly one Arrow/Python node between the page scan and the
     flat link rows (the fused sniff gate keeps it to one hop)."""
