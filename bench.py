@@ -68,7 +68,10 @@ def _ensure_corpus(n_pages: int) -> str:
     )
 
     d = _corpus_dir(n_pages)
-    generate_bench_corpus(d, n_pages=n_pages)
+    # 1024 seeds → 4 fetch rounds with widely varied sizes (≈1k / 26k /
+    # 68k / remainder): 3 well-spread points for the sustained-slope
+    # regression instead of 2 (the old 4096-seed corpus drained in 3).
+    generate_bench_corpus(d, n_pages=n_pages, n_seeds=1024)
     return d
 
 
@@ -127,6 +130,14 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
         media=False,  # text corpus; media branch exercised in tests
         lineage_metrics=False,
         compact_seen_every=4,
+        # the bench corpus is 48 host-randomized files (≥ cores) and no
+        # politeness clustering applies — the salted repartition would
+        # be a full shuffle of the html bodies for nothing
+        salt=0,
+        # recompute fat branches from the compressed scan: decompression
+        # is CPU (scales with cores); cache traffic is memory bandwidth
+        # (does not)
+        cache_fat=os.environ.get("SPARK_GRAFT_BENCH_CACHE_FAT", "0") == "1",
     )
     eng = CrawlEngine(
         spark,

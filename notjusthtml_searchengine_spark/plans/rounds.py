@@ -69,6 +69,14 @@ class CrawlConfig:
     # J6 fetch: broadcast the batch below this row count, else
     # shuffle-hash (pages bucketed by url hash at that scale)
     fetch_broadcast_rows: int = 4_000_000
+    # Cache the fat (html) fetch result between branches. True trades
+    # memory bandwidth (serialize once + deserialize per consumer) for
+    # fewer scans; False re-derives each fat branch from the compressed
+    # parquet scan + broadcast fetch join — decompression is CPU, which
+    # SCALES with cores, while cache traffic does not. Benchmarks on
+    # this class of corpus run ~equal wall at high core counts with
+    # strictly better scaling efficiency when False.
+    cache_fat: bool = True
     compact_seen_every: int = 8
     lineage_metrics: bool = True
     extra: dict = field(default_factory=dict)
@@ -224,20 +232,31 @@ class CrawlEngine:
                 F.xxhash64("host"),
                 F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
             )
-        gated = gated.persist(_CACHE)  # every branch below reads this once
-        ok = (
-            gated.filter(F.col("gate") == "ok")
-            .withColumn("content_type", sniff_col("html"))
+        # Fat side (html) — consumed at most 4×: meta materialization,
+        # blob-content join, media magic-byte gate, link extraction.
+        # Either cached (serialized) or re-derived per consumer from
+        # the compressed scan + broadcast join, per cfg.cache_fat.
+        if cfg.cache_fat:
+            gated = gated.persist(_CACHE)
+        # Skinny cache: every per-page derived column (sniff, digests,
+        # ids) computed EXACTLY ONCE over the fat rows; the dozen sink/
+        # stat consumers below scan this cheap projection instead of
+        # re-deserializing the html cache and re-hashing per branch.
+        meta = (
+            gated.withColumn("content_type", sniff_col("html"))
             .withColumn("sha1", F.unhex(F.sha1("html")))
             .withColumn("sha512", F.unhex(F.sha2("html", 512)))
             .withColumn("size", F.length("html").cast("int"))
             .withColumn("site_id", F.xxhash64("url_norm"))
             .withColumn("content_id", F.xxhash64("url_norm", F.lit(r)))
             .withColumn("time_found", F.unix_micros("warc_ts"))
+            .drop("html")
+            .persist(_CACHE)
         )
+        ok = meta.filter(F.col("gate") == "ok")
 
-        missed = ops.fetch_misses(batch, gated)
-        err_gate = gated.filter(F.col("gate") != "ok").select(
+        missed = ops.fetch_misses(batch, meta)
+        err_gate = meta.filter(F.col("gate") != "ok").select(
             F.lit(r).alias("round"),
             F.col("url_norm").alias("url"),
             F.when(F.col("gate") == "too_big", schemas.ERROR_CODES["ErrorResponseToBig"])
@@ -321,13 +340,28 @@ class CrawlEngine:
                 pending.append((d, dim_name))
 
         if cfg.write_blobs:
+            # Content-addressed store WITHOUT shuffling the fat bodies:
+            # pick one winner (sha1, url) with a SKINNY map-side-combined
+            # aggregate, anti-join winners against the store, then join
+            # the winner keys back against the persisted ok frame — the
+            # html column never moves (dropDuplicates(sha1) would
+            # shuffle every body by sha1). Winner set ≈ round size;
+            # broadcast below the same threshold as the fetch batch.
             blob_glob = self.state.sink_glob("content_blobs")
-            new_blobs = ok.select("sha1", F.col("html").alias("content")).dropDuplicates(
-                ["sha1"]
-            )
+            winners = ok.groupBy("sha1").agg(F.min("url_norm").alias("_w"))
             if r > 1:
                 existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
-                new_blobs = new_blobs.join(existing.select("sha1"), "sha1", "left_anti")
+                winners = winners.join(existing.select("sha1"), "sha1", "left_anti")
+            if n_batch <= cfg.fetch_broadcast_rows:
+                winners = F.broadcast(winners)
+            # join the winner URLS back against the fat cache: sha1
+            # comes from the (skinny) winner side — the bodies are
+            # neither shuffled nor re-hashed.
+            new_blobs = (
+                gated.select("url_norm", F.col("html").alias("content"))
+                .join(winners, F.col("url_norm") == F.col("_w"))
+                .select("sha1", "content")
+            )
             pending.append((new_blobs, "content_blobs"))
 
         # ---- P7 media branch → U5/U6 ----------------------------------
@@ -451,6 +485,7 @@ class CrawlEngine:
         if self.robots is not None:
             cands = ops.robots_filter(cands, self.robots)
 
+        probed = None
         if cfg.bloom_prefilter and prev["stats"].get("bloom"):
             shards = self.spark.read.schema(schemas.BLOOM_SHARDS).parquet(
                 os.path.join(self.state.root, "rounds", prev["stats"]["bloom"])
@@ -512,17 +547,15 @@ class CrawlEngine:
             errors = errors.unionByName(err_media)
         pending.append((errors, "errors"))
 
-        # ---- materialize persisted frames (stats counts double as the
-        # materialization barrier), then flush all sink writes in
-        # parallel --------------------------------------------------------
-        pages_fetched = gated.filter(F.col("gate") == "ok").count()
-        links_found = rated.count()
-        n_new_frontier = new.filter(F.col("priority") > 0).count()
-        # gate errors = batch - fetched (no extra job over the join)
-        n_errors = n_batch - pages_fetched
-        if cfg.media:
-            hashed.count()
+        if cfg.lineage_metrics:
+            lineage = self._lineage(
+                {"batch": batch, "fetched_ok": ok, "links": rated, "new_seen": new}, r
+            )
+            pending.append((lineage, "metrics"))
 
+        # ---- flush all sink writes concurrently (persisted parents are
+        # materialized once under the cache's per-partition locks; the
+        # scheduler overlaps the jobs, hiding per-job launch latency).
         from concurrent.futures import ThreadPoolExecutor
 
         bucketed_names = {"frontier", "seen_delta", "seen_full"}
@@ -537,11 +570,22 @@ class CrawlEngine:
         with ThreadPoolExecutor(max_workers=int(cfg.extra.get("write_threads", 6))) as pool:
             list(pool.map(_flush, pending))
 
-        if cfg.lineage_metrics:
-            lineage = self._lineage(
-                {"batch": batch, "fetched_ok": ok, "links": rated, "new_seen": new}, r
+        # Round counters: ONE post-flush aggregation job over the (now
+        # materialized) cached frames — replaces the four standalone
+        # count jobs the round used to run before flushing.
+        tagged = (
+            ok.select(F.lit("ok").alias("k"))
+            .unionByName(rated.select(F.lit("links").alias("k")))
+            .unionByName(
+                new.filter(F.col("priority") > 0).select(F.lit("frontier").alias("k"))
             )
-            self._write(lineage, r, "metrics")
+            .unionByName(errors.select(F.lit("errors").alias("k")))
+        )
+        got = {row["k"]: row["count"] for row in tagged.groupBy("k").count().collect()}
+        pages_fetched = int(got.get("ok", 0))
+        links_found = int(got.get("links", 0))
+        n_new_frontier = int(got.get("frontier", 0))
+        n_errors = int(got.get("errors", 0))
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = {
@@ -572,7 +616,10 @@ class CrawlEngine:
         self._write(round_stats, r, "round_stats")
         self.state.commit_round(r, stats)
 
-        for df in (batch, gated, flat, rated, new, hashed):
+        unpersist = [batch, meta, flat, rated, new, hashed, probed]
+        if cfg.cache_fat:
+            unpersist.append(gated)
+        for df in unpersist:
             if df is not None:
                 df.unpersist()
         stats["done"] = False
