@@ -10,16 +10,17 @@ bilinear resampler is library-specific); the algorithms, bit widths
 and distance semantics (Hamming via bit_count(xor)) are identical,
 and our outputs are pinned by golden tests.
 
-JPEG pixel decode is unavailable in this sandbox (no codec) — JPEG
-bodies raise, and the caller surfaces an ErrorPerceptualHash row,
-mirroring the reference's decode-failure path
-(perceptualHashing.go:26-29).
+JPEG bodies decode through the from-scratch baseline decoder
+(media/jpeg.py, ITU-T T.81); undecodable/progressive bodies raise and
+the caller surfaces an ErrorPerceptualHash row, mirroring the
+reference's decode-failure path (perceptualHashing.go:26-29).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from .jpeg import JpegError, decode_jpeg
 from .png import PngError, decode_png
 
 
@@ -89,10 +90,10 @@ def perceptual_hashes(body: bytes, content_type: str) -> tuple[int, int, int]:
     if content_type == "image/png":
         img = decode_png(body)
     elif content_type == "image/jpeg":
-        # No JPEG codec in this environment. The Spark-side plumbing
-        # (schema, batching, error split) is real; the decode is the
-        # documented stub (task brief: stub media decode).
-        raise PngError("JPEG pixel decode unavailable in sandbox")
+        try:
+            img = decode_jpeg(body)
+        except JpegError as e:
+            raise PngError(f"jpeg decode: {e}") from e
     else:
         raise PngError(f"unknown mime-type {content_type}")
     return (

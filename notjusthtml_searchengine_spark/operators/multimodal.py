@@ -4,10 +4,10 @@ Image/audio/video payloads are opaque ``binary`` columns with a typed
 metadata struct. The Spark-side plumbing — schemas, Arrow batch
 shapes, partition-size control for fat blobs, UDF signatures — is
 real and tested; the codec-dependent steps (decode, resample, frame
-extraction) are deterministic stubs behind ``_decode_stub`` because
-no media codecs ship in this container (PNG is the exception: the
-engine has a real decoder in media/png.py, used when the payload is
-PNG).
+extraction) are deterministic stubs because no media codecs ship in
+this container — EXCEPT PNG and baseline JPEG, which the engine
+decodes with its own from-scratch decoders (media/png.py,
+media/jpeg.py).
 
 Operators:
   * attach_media_meta   — sniff + size/shape metadata struct
@@ -55,10 +55,18 @@ IMAGE_FEATURES = T.StructType(
 
 
 def _decode(body: bytes):
-    """Real PNG decode; other codecs unavailable in this container."""
+    """Real PNG + baseline-JPEG decode (both from-scratch, media/);
+    other codecs unavailable in this container."""
     ct = detect_content_type(body)
     if ct == "image/png":
         return decode_png(body)
+    if ct == "image/jpeg":
+        from ..media.jpeg import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(body)
+        except JpegError as e:
+            raise PngError(f"jpeg decode: {e}") from e
     raise PngError(f"no codec for {ct} in this environment (stub)")
 
 

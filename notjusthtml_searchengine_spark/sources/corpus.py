@@ -152,11 +152,20 @@ def encode_png(pixels: list[list[tuple[int, int, int]]]) -> bytes:
     )
 
 
-# Minimal JPEG container: SOI + APP1(EXIF TIFF) + junk scan. Not decodable
-# as an image (sandbox has no JPEG codec) but carries real EXIF metadata
-# for kernel U6 and sniffs as image/jpeg (\xff\xd8\xff).
+# Real baseline JPEG: SOI + APP1(EXIF TIFF) + encoded 48x32 image
+# (sources/jpegenc.py — from-scratch T.81 encoder). Carries real EXIF
+# metadata for kernel U6, sniffs as image/jpeg (\xff\xd8\xff), and
+# DECODES for kernel U5 (media/jpeg.py), like the reference's JPEGs do
+# through Go image.Decode (perceptualHashing.go:33-49).
+# corrupt=True emits the old junk-scan container instead — the
+# decode-failure path (ErrorPerceptualHash) stays exercised.
 def encode_jpeg_with_exif(
-    camera: str | None, dt: str | None, lat: float | None, lon: float | None
+    camera: str | None,
+    dt: str | None,
+    lat: float | None,
+    lon: float | None,
+    seed: int = 0,
+    corrupt: bool = False,
 ) -> bytes:
     entries = []
 
@@ -235,7 +244,25 @@ def encode_jpeg_with_exif(
 
     exif_payload = b"Exif\x00\x00" + tiff
     app1 = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) + exif_payload
-    return b"\xff\xd8" + app1 + b"\xff\xdb" + b"\x00\x04\x00\x00" + b"junkscan" * 8 + b"\xff\xd9"
+    if corrupt:
+        return (
+            b"\xff\xd8" + app1 + b"\xff\xdb" + b"\x00\x04\x00\x00"
+            + b"junkscan" * 8 + b"\xff\xd9"
+        )
+    import numpy as np
+
+    from .jpegenc import encode_baseline_jpeg
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.dstack(
+        [
+            (xx * (3 + seed % 5) + yy * 2 + seed * 17) % 256,
+            (yy * (2 + seed % 3) + seed * 29) % 256,
+            ((xx + yy) * (1 + seed % 7) + seed * 41) % 256,
+        ]
+    ).astype(np.uint8)
+    return encode_baseline_jpeg(img, quality=88, app1=app1)
 
 
 # ---------------------------------------------------------------------------
@@ -423,6 +450,11 @@ def build_corpus(
                 dt="2024:06:01 12:00:00" if j % 2 else None,
                 lat=48.1 + j if j % 4 == 1 else None,
                 lon=11.5 + j if j % 4 == 1 else None,
+                seed=j,
+                # keep a few undecodable JPEGs in every corpus so the
+                # ErrorPerceptualHash path stays exercised end-to-end
+                # (jpegs are the j % 3 == 2 urls; j=2,14,26,… corrupt)
+                corrupt=(j % 12 == 2),
             )
             add_page(iurl, body, ct="image/jpeg")
 

@@ -64,6 +64,8 @@ def run_pair(request, spark, corpus, corpus_dir, tmp_path_factory):
         per_host_budget=5,
         round_budget=None,
         bloom_prefilter=(request.param == "bloom"),
+        # exercise both fat-side strategies across the two params
+        cache_fat=(request.param == "bloom"),
         n_buckets=8,
         shard_bits=1 << 16,
         compact_seen_every=3,
@@ -161,11 +163,15 @@ def test_robots_blocked_never_fetched(spark, run_pair, corpus):
 def test_media_sinks_populated(spark, run_pair):
     _, _, _, state_dir = run_pair
     ph = _read_sink(spark, state_dir, "perceptual_hashes", schemas.PERCEPTUAL_HASHES)
-    assert ph.count() > 0  # PNG images crawled and hashed
+    assert ph.count() > 0  # images crawled and hashed
     ex = _read_sink(spark, state_dir, "exif_info", schemas.EXIF_INFO)
     assert ex.count() > 0  # JPEGs with EXIF crawled
+    # U5 JPEG parity: decodable JPEGs hash too — only JPEGs carry EXIF,
+    # so a phash∩exif content_id proves a JPEG went through the
+    # from-scratch baseline decoder (media/jpeg.py)
+    assert ph.join(ex, "content_id").count() > 0
     errs = _read_sink(spark, state_dir, "errors", schemas.ERRORS)
-    # JPEG phash decode is stubbed → ErrorPerceptualHash rows exist
+    # genuinely-corrupt JPEGs (corpus plants a few) still error
     assert errs.filter(F.col("error_code") == 8).count() > 0
 
 

@@ -51,9 +51,25 @@ def test_similar_images_close_hamming():
     assert ham(h1[2], h2[2]) < ham(h1[2], h3[2])
 
 
-def test_jpeg_decode_stubbed():
+def test_jpeg_hashes_real_decode():
+    """U5 parity: real corpus JPEGs decode and hash (reference hashes
+    JPEGs via image.Decode, perceptualHashing.go:33-49)."""
+    body = encode_jpeg_with_exif("Cam", None, None, None, seed=3)
+    h1 = perceptual_hashes(body, "image/jpeg")
+    h2 = perceptual_hashes(body, "image/jpeg")
+    assert h1 == h2
+    for h in h1:
+        assert -(2**63) <= h < 2**63
+
+
+def test_jpeg_undecodable_raises():
     with pytest.raises(PngError):
         perceptual_hashes(b"\xff\xd8\xffjunk", "image/jpeg")
+    with pytest.raises(PngError):  # corrupt container (old junk scan)
+        perceptual_hashes(
+            encode_jpeg_with_exif("Cam", None, None, None, corrupt=True),
+            "image/jpeg",
+        )
 
 
 def test_resize_area_mean_preserved():
