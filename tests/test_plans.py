@@ -155,6 +155,54 @@ def test_bucketed_seen_anti_join_copartitioned(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+def test_bucketed_pages_fetch_beyond_broadcast(spark, tmp_path):
+    """J6 at 10⁷-row round sizes: with the pages table bucketed by url
+    and broadcast off, the fetch is a shuffle-hash join where ONLY the
+    batch side is exchanged — the corpus scan stays in place."""
+    from notjusthtml_searchengine_spark.operators import crawl_ops as ops
+
+    pages = (
+        spark.range(5000)
+        .select(
+            F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url"),
+            F.current_timestamp().alias("warc_ts"),
+            F.encode(F.lit("<html></html>"), "utf-8").alias("html"),
+        )
+    )
+    spark.sql("DROP TABLE IF EXISTS njh_test_pages_bkt")
+    (
+        pages.write.format("parquet")
+        .option("path", str(tmp_path / "pages_bkt"))
+        .bucketBy(8, "url")
+        .saveAsTable("njh_test_pages_bkt")
+    )
+    pages_t = spark.table("njh_test_pages_bkt")
+    batch = (
+        spark.range(1000, 3000)
+        .select(
+            F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url_norm")
+        )
+        .withColumn("host", F.lit("h.ex"))
+        .withColumn("priority", F.lit(90))
+        .withColumn("depth", F.lit(1))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        hits = ops.fetch_hits(batch, pages_t, broadcast_batch=False)
+        p = hits._jdf.queryExecution().executedPlan().toString()
+        assert p.count("Exchange") == 1, p  # batch side only
+        assert "Bucketed: true" in p
+        assert "BroadcastExchange" not in p
+        assert hits.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
 def test_extraction_is_single_python_stage(spark):
     """Exactly one Arrow/Python node between the page scan and the
     flat link rows (the fused sniff gate keeps it to one hop)."""

@@ -1,0 +1,89 @@
+"""robots.txt parser (RFC 9309 group selection + engine prefix
+reduction) and its Spark operator form feeding the politeness filter."""
+
+from pyspark.sql import functions as F
+
+from notjusthtml_searchengine_spark.functions.robots import (
+    parse_robots_txt,
+    robots_rules,
+)
+from notjusthtml_searchengine_spark.operators.crawl_ops import robots_filter
+
+BODY = """
+# example robots
+User-agent: googlebot
+Disallow: /private/
+Crawl-delay: 2
+
+User-agent: njh-crawler
+User-agent: otherbot
+Allow: /public/
+Disallow: /
+Crawl-delay: 0.5
+
+User-agent: *
+Disallow: /blocked/
+Disallow:
+Allow: /blocked/ok*suffix
+"""
+
+
+def test_group_selection_longest_match():
+    g = parse_robots_txt(BODY, user_agent="njh-crawler/1.0")
+    assert g["disallow_prefixes"] == ["/"]
+    assert g["allow_prefixes"] == ["/public/"]
+    assert g["crawl_delay_ms"] == 500
+
+    google = parse_robots_txt(BODY, user_agent="Googlebot-Image")
+    assert google["disallow_prefixes"] == ["/private/"]
+    assert google["crawl_delay_ms"] == 2000
+
+
+def test_fallback_star_group_and_wildcard_reduction():
+    g = parse_robots_txt(BODY, user_agent="randombot")
+    assert g["disallow_prefixes"] == ["/blocked/"]  # empty Disallow dropped
+    assert g["allow_prefixes"] == ["/blocked/ok"]  # truncated at '*'
+    assert g["crawl_delay_ms"] is None
+
+
+def test_empty_and_garbage_bodies():
+    assert parse_robots_txt("", "x") == {
+        "allow_prefixes": [],
+        "disallow_prefixes": [],
+        "crawl_delay_ms": None,
+    }
+    g = parse_robots_txt("Disallow: /early\nUser-agent: *\nDisallow: /x", "a")
+    assert g["disallow_prefixes"] == ["/x"]  # rules before any UA ignored
+
+
+def test_robots_rules_operator_feeds_filter(spark):
+    bodies = spark.createDataFrame(
+        [
+            ("h1.example", BODY.encode()),
+            ("h2.example", b"User-agent: *\nDisallow: /priv\n"),
+            ("h3.example", bytes([0xFF, 0xFE]) + b"garbage\x00"),
+        ],
+        "host string, body binary",
+    )
+    rules = robots_rules(bodies, user_agent="njh-crawler")
+    got = {r["host"]: r.asDict() for r in rules.collect()}
+    assert got["h1.example"]["disallow_prefixes"] == ["/"]
+    assert got["h2.example"]["disallow_prefixes"] == ["/priv"]
+    assert got["h3.example"]["disallow_prefixes"] == []  # permissive on garbage
+
+    cands = spark.createDataFrame(
+        [
+            ("http://h1.example/public/x", "h1.example"),
+            ("http://h1.example/other", "h1.example"),
+            ("http://h2.example/priv/1", "h2.example"),
+            ("http://h2.example/ok", "h2.example"),
+            ("http://h3.example/anything", "h3.example"),
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {
+        "http://h1.example/public/x",  # Allow overrides Disallow /
+        "http://h2.example/ok",
+        "http://h3.example/anything",
+    }
