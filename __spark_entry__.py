@@ -607,7 +607,8 @@ SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed ANN (rows-only; recall vs brute force
+    """Hyperplane-LSH bucketed ANN (deterministic portable-hash
+    hyperplanes — oracle-checkable; recall vs brute force additionally
     asserted in tests/test_similarity.py)."""
     from notjusthtml_searchengine_spark.operators.similarity import lsh_topk
 
@@ -616,6 +617,42 @@ def q_ann_lsh_topk(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
+
+
+def _sql_ann_lsh(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    """DuckDB mirror of lsh_topk: identical ±1 hyperplane components
+    from the portable hash of 'p:j', identical sign-pattern bucket,
+    exact quantized cosine rank within the bucket."""
+
+    def comps(p: int) -> str:
+        return (
+            f"list_transform(generate_series(0, {dim - 1}), j -> "
+            f"CASE WHEN CAST('0x'||substr(md5(CAST({p} AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,15) AS BIGINT) % 2 = 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vq, {comps(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS vq
+           FROM embeddings),
+b AS (SELECT vec_id, vq, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, vq AS qq, bucket FROM b WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, b.vec_id,
+         round(list_dot_product(b.vq, q.qq) /
+               sqrt(list_dot_product(b.vq, b.vq) * list_dot_product(q.qq, q.qq)), 4) AS cosine
+  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= {k}
+"""
+
+
+SQL_ANN_LSH = _sql_ann_lsh()
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -953,6 +990,64 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+ROBOTS_FIXTURES = [
+    (
+        "h0.example",
+        "User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 1\n",
+    ),
+    (
+        "h1.example",
+        "User-agent: njh\nDisallow: /\nUser-agent: *\nDisallow:\n",
+    ),
+    ("h2.example", "# nothing applicable\nSitemap: http://h2.example/s.xml\n"),
+    ("h3.example", "User-agent: njh\nAllow: /a*suffix\nDisallow: /b$\n"),
+]
+
+
+def q_robots_parse(spark, sf_dir):
+    """Politeness input: RFC-9309 robots.txt parsing as a vectorized
+    operator (functions/robots.py) → per-host rule rows."""
+    from notjusthtml_searchengine_spark.functions.robots import robots_rules
+
+    bodies = spark.createDataFrame(
+        [(h, bytearray(t.encode())) for h, t in ROBOTS_FIXTURES],
+        "host string, body binary",
+    )
+    rules = robots_rules(bodies, user_agent="njh")
+    return rules.select(
+        "host",
+        F.size("allow_prefixes").alias("n_allow"),
+        F.size("disallow_prefixes").alias("n_disallow"),
+        "crawl_delay_ms",
+    )
+
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC source connector: encode the mini corpus into a
+    gzip-member WARC, read it back through sources/warc.py, verify
+    byte-identical bodies per url."""
+    import os
+    import tempfile
+
+    from notjusthtml_searchengine_spark.sources.warc import read_warc, write_warc
+
+    src = _mini_pages(spark)
+    rows = src.select("url", "warc_ts", "html").collect()
+    data = write_warc(
+        [{"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"])} for r in rows]
+    )
+    d = tempfile.mkdtemp(prefix="njh_warc_q_")
+    with open(os.path.join(d, "part-00000.warc.gz"), "wb") as f:
+        f.write(data)
+    back = read_warc(spark, os.path.join(d, "*.warc.gz"))
+    joined = back.alias("b").join(src.alias("s"), "url")
+    return joined.select(
+        "url",
+        F.length("b.html").alias("n_bytes"),
+        (F.col("b.html") == F.col("s.html")).alias("roundtrip_ok"),
+    )
+
+
 def q_faces_detect(spark, sf_dir):
     """U7: face detection plumbing (deterministic fake detector) +
     128-d descriptor output ready for F16 distance search."""
@@ -1021,6 +1116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frame_sample": q_video_frame_sample,
         "faces_detect": q_faces_detect,
         "faces_search": q_faces_search,
+        # source / politeness connectors
+        "robots_parse": q_robots_parse,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -1049,6 +1147,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
         "simhash": SQL_SIMHASH,
         "ann_brute_topk": SQL_ANN_BRUTE,
+        "ann_lsh_topk": SQL_ANN_LSH,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
