@@ -78,6 +78,9 @@ class CrawlConfig:
     # strictly better scaling efficiency when False.
     cache_fat: bool = True
     compact_seen_every: int = 8
+    # expire superseded frontier/seen/bloom state after each seen
+    # compaction (sinks untouched; see CrawlState.gc_state)
+    gc_state: bool = True
     lineage_metrics: bool = True
     extra: dict = field(default_factory=dict)
 
@@ -615,6 +618,10 @@ class CrawlEngine:
         )
         self._write(round_stats, r, "round_stats")
         self.state.commit_round(r, stats)
+        if cfg.gc_state and r % cfg.compact_seen_every == 0:
+            stats["gc_removed"] = len(
+                self.state.gc_state(r, keep_rounds=1, spark=self.spark)
+            )
 
         unpersist = [batch, meta, flat, rated, new, hashed, probed]
         if cfg.cache_fat:

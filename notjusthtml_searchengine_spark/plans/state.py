@@ -92,6 +92,49 @@ class CrawlState:
                     best = r
         return best
 
+    # state tables are superseded by newer rounds; sinks are the
+    # engine's OUTPUT and are never touched by retention.
+    STATE_TABLES = ("frontier", "seen_full", "seen_delta", "bloom")
+
+    def gc_state(self, latest: int, keep_rounds: int = 1, spark=None) -> list[str]:
+        """Expire superseded state tables (Iceberg snapshot-expiry
+        analog). Keeps everything referenced by the manifest of
+        ``latest`` plus the state of the last ``keep_rounds`` rounds;
+        deletes older frontier/seen/bloom copies (each round rewrites
+        the frontier and bloom, so a long crawl otherwise accumulates
+        O(rounds × frontier) dead state). Sinks are never removed.
+        Resume always starts from the latest manifest, which stays
+        fully readable; time-travel to GC'd rounds is given up —
+        that's the retention trade, same as any snapshot expiry.
+        """
+        m = self.manifest(latest)
+        if m is None:
+            return []
+        referenced = set(m["stats"].get("seen_parts", []))
+        if m["stats"].get("frontier"):
+            referenced.add(m["stats"]["frontier"])
+        if m["stats"].get("bloom"):
+            referenced.add(m["stats"]["bloom"])
+        removed = []
+        rounds_dir = os.path.join(self.root, "rounds")
+        for name in sorted(os.listdir(rounds_dir)):
+            if not (name.startswith("r") and name[1:].isdigit()):
+                continue
+            r = int(name[1:])
+            if r > latest - keep_rounds:
+                continue
+            for tbl in self.STATE_TABLES:
+                rel = f"r{r:05d}/{tbl}"
+                path = os.path.join(rounds_dir, rel)
+                if rel not in referenced and os.path.isdir(path):
+                    shutil.rmtree(path)
+                    removed.append(rel)
+                    if spark is not None:
+                        spark.sql(
+                            f"DROP TABLE IF EXISTS {self.bucketed_table_name(rel)}"
+                        )
+        return removed
+
     def drop_uncommitted(self) -> list[int]:
         """Remove round dirs that have no manifest (killed mid-round)."""
         dropped = []

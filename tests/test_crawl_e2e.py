@@ -212,6 +212,36 @@ def test_dimension_sinks(spark, run_pair):
         assert row["site_id"] in site_ids
 
 
+def test_state_gc_expires_superseded_only(spark, run_pair):
+    """Retention: after a seen compaction, superseded frontier/seen/
+    bloom copies are expired; every SINK row survives and the latest
+    manifest's state stays fully readable (resume-safe)."""
+    eng, stats, _, state_dir = run_pair
+    fetch_rounds = [s["round"] for s in stats if not s.get("done")]
+    compacted = [r for r in fetch_rounds if r % 3 == 0]  # compact_seen_every=3
+    if not compacted:
+        return
+    last_gc = max(compacted)
+    # a superseded frontier from before the compaction must be gone
+    gone = os.path.join(str(state_dir), "rounds", f"r{last_gc - 1:05d}", "frontier")
+    assert not os.path.exists(gone)
+    # sinks for that same round are all still there
+    for sink in ("contents", "link_rels", "errors", "round_stats"):
+        assert os.path.exists(
+            os.path.join(str(state_dir), "rounds", f"r{last_gc - 1:05d}", sink)
+        )
+    # latest manifest's referenced state is readable (resume-safe)
+    last = max(fetch_rounds)
+    manifest = eng.state.manifest(last)
+    assert eng._read_seen(manifest["stats"]["seen_parts"]).count() >= 0
+    frontier = eng.state.read_bucketed(
+        spark, manifest["stats"]["frontier"],
+        __import__("notjusthtml_searchengine_spark.plans.state", fromlist=["FRONTIER_DDL"]).FRONTIER_DDL,
+        manifest["stats"]["n_buckets"],
+    )
+    assert frontier.count() >= 0
+
+
 def test_lineage_metrics_written(spark, run_pair):
     _, stats, _, state_dir = run_pair
     m = _read_sink(spark, state_dir, "metrics", schemas.METRICS)
