@@ -655,6 +655,53 @@ SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE
 SQL_ANN_LSH = _sql_ann_lsh()
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (deterministic pivot centroids → oracle-exact):
+    index assignment + nprobe bucket probe + exact cosine rank."""
+    from notjusthtml_searchengine_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+SQL_ANN_IVF = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS vq
+           FROM embeddings),
+cents AS (SELECT vec_id AS cid, vq AS cv FROM e WHERE vec_id < 8),
+assign AS (
+  SELECT vec_id, vq, cid FROM (
+    SELECT e.vec_id, e.vq, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.vq, c.cv) /
+                      sqrt(list_dot_product(e.vq, e.vq) * list_dot_product(c.cv, c.cv)), 4) DESC,
+                      c.cid) AS rk
+    FROM e CROSS JOIN cents c) t
+  WHERE rk = 1),
+q AS (SELECT vec_id AS qid, vq AS qq FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT qid, qq, cid FROM (
+    SELECT q.qid, q.qq, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round(list_dot_product(q.qq, c.cv) /
+                      sqrt(list_dot_product(q.qq, q.qq) * list_dot_product(c.cv, c.cv)), 4) DESC,
+                      c.cid) AS rk
+    FROM q CROSS JOIN cents c) t
+  WHERE rk <= 2),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         round(list_dot_product(a.vq, p.qq) /
+               sqrt(list_dot_product(a.vq, a.vq) * list_dot_product(p.qq, p.qq)), 4) AS cosine
+  FROM assign a JOIN probes p USING (cid) WHERE a.vec_id <> p.qid),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact (brute) variant."""
     from notjusthtml_searchengine_spark.operators.similarity import (
@@ -764,6 +811,65 @@ SELECT lang,
            AS total_tokens,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY lang
+"""
+
+
+def q_token_count_bpe(spark, sf_dir):
+    """Subword-ish token counting (GPT-2-style pre-tokenizer regex,
+    RE2-compatible) — the LLM-budget proxy next to whitespace counts."""
+    from notjusthtml_searchengine_spark.operators.textops import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.sum(bpe_token_count(F.col("text")).cast("bigint")).alias("total_bpe_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+SQL_TOKEN_BPE = r"""
+SELECT lang,
+       CAST(sum(len(regexp_extract_all(text,
+            '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT)
+           AS total_bpe_tokens,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_winnow_fingerprint(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints — the MOSS
+    scheme over k=8 char-grams, window w=4; digest of the sorted
+    fingerprint set per doc."""
+    from notjusthtml_searchengine_spark.operators.textops import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fp = winnow_fingerprints(F.col("text"), k=8, w=4)
+    return docs.select(
+        "doc_id",
+        F.size(fp).alias("n_fp"),
+        F.md5(F.concat_ws(",", fp)).alias("fp_digest"),
+    )
+
+
+SQL_WINNOW = r"""
+WITH n AS (SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+           FROM documents WHERE doc_id < 200),
+g AS (SELECT doc_id,
+             CASE WHEN length(t) >= 8
+                  THEN list_transform(generate_series(1, length(t)-7),
+                                      i -> CAST('0x'||substr(md5(substr(t, i, 8)),1,12) AS BIGINT))
+                  ELSE [] END AS grams
+      FROM n),
+m AS (SELECT doc_id,
+             CASE WHEN len(grams) >= 4
+                  THEN list_transform(generate_series(1, len(grams)-3), j -> list_min(grams[j:j+3]))
+                  WHEN len(grams) >= 1 THEN [list_min(grams)]
+                  ELSE [] END AS mins
+      FROM g)
+SELECT doc_id,
+       CAST(len(list_distinct(mins)) AS INT) AS n_fp,
+       md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
+FROM m
 """
 
 
@@ -1098,11 +1204,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
+        "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
         # crawl-kernel demos (non-SQL kernels; golden-tested)
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
@@ -1148,9 +1257,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ann_brute_topk": SQL_ANN_BRUTE,
         "ann_lsh_topk": SQL_ANN_LSH,
+        "ann_ivf_topk": SQL_ANN_IVF,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
         "token_count": SQL_TOKEN_COUNT,
+        "token_count_bpe": SQL_TOKEN_BPE,
         "doc_fingerprint": SQL_FINGERPRINT,
+        "doc_winnow_fingerprint": SQL_WINNOW,
     }

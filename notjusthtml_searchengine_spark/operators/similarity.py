@@ -140,6 +140,65 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: coarse-quantize every vector to its
+    nearest centroid (the inverted-file bucket), then each query
+    probes only its ``nprobe`` nearest centroid buckets and ranks by
+    exact quantized cosine within them.
+
+    "Training" is deterministic: the centroids are the vectors of the
+    ``n_centroids`` lowest-id rows — no RNG, no k-means iterations, so
+    the whole operator (index build + search) is bit-reproducible and
+    DuckDB-oracle-checkable. Production swaps the pivot rule for
+    k-means|| centroids; every downstream shape (assignment join on a
+    broadcast centroid table, bucket-restricted probe, per-query
+    top-k) is unchanged.
+
+    Scale shape: assignment is one broadcast join (C rows) over the
+    full scan; the probe joins the (small) query×nprobe list against
+    the index on centroid_id — bucket-partitioned, no all-pairs."""
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    cents = e.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("vq").alias("cv")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(
+        F.desc("c_cos"), F.asc("cid")
+    )
+    index = (
+        e.join(F.broadcast(cents))
+        .withColumn("c_cos", cosine_q(F.col("vq"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select(id_col, "vq", "cid")
+    )
+    q = queries.select("qid", quantized(F.col("qvec")).alias("qq"))
+    w_probe = Window.partitionBy("qid").orderBy(F.desc("c_cos"), F.asc("cid"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("c_cos", cosine_q(F.col("qq"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(w_probe))
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", "qq", "cid")
+    )
+    scored = index.join(F.broadcast(probes), "cid").filter(
+        F.col(id_col) != F.col("qid")
+    ).withColumn("cosine", cosine_q(F.col("vq"), F.col("qq")))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("qid", F.col(id_col).alias("neighbor_id"), "cosine", "rk")
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

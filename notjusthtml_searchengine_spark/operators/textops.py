@@ -36,6 +36,56 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
+# BPE-style pre-tokenizer (GPT-2 family), restricted to RE2-compatible
+# syntax (no lookahead) so the same pattern runs in Spark (Java regex)
+# and DuckDB (RE2): contractions, letter runs, digit runs, punct runs,
+# each with an optional leading space. Whitespace itself is not a token.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Subword-ish token count: the standard proxy for LLM training
+    token budgets when no tokenizer model ships (brief: 'whitespace +
+    a BPE-ish regex')."""
+    return F.size(bpe_tokens(col))
+
+
+def winnow_fingerprints(
+    col: Column, k: int = 8, w: int = 4
+) -> Column:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every k-char gram of the
+    whitespace-normalized lowercased text with the portable rolling
+    base hash, then keep the minimum of each w-hash window; the
+    distinct minima are the fingerprint set. Guarantees: any shared
+    substring of length ≥ k+w-1 yields a shared fingerprint.
+
+    Pure array built-ins (sequence/transform/slice/array_min) —
+    JVM-side, oracle-expressible; returns a sorted array<bigint>."""
+    norm = F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+    n_grams = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.conv(F.substring(F.md5(norm.substr(i, F.lit(k))), 1, 12), 16, 10).cast("bigint"),
+    )
+    grams = F.when(n_grams >= 1, grams).otherwise(F.array().cast("array<bigint>"))
+    n_windows = F.greatest(n_grams - F.lit(w - 1), F.lit(0))
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+        lambda j: F.array_min(F.slice(grams, j, w)),
+    )
+    mins = F.when(n_windows >= 1, mins).otherwise(
+        F.when(n_grams >= 1, F.array(F.array_min(grams))).otherwise(
+            F.array().cast("array<bigint>")
+        )
+    )
+    return F.array_sort(F.array_distinct(mins))
+
+
 def punct_ratio(col: Column) -> Column:
     stripped = F.regexp_replace(col, r"[^\p{L}\p{N}\s]", "")
     return (F.length(col) - F.length(stripped)) / F.greatest(F.length(col), F.lit(1))

@@ -77,6 +77,31 @@ def test_neardup_pairs_planted(spark, emb):
     assert (0, 100) in got and (0, 101) in got and (100, 101) in got
 
 
+def test_ivf_topk_recalls_planted_neighbors(spark, emb):
+    """Near-identical vectors land in the same IVF bucket as their
+    original (same nearest centroid) → recalled."""
+    from notjusthtml_searchengine_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(emb, _queries(emb), k=3, n_centroids=8, nprobe=2).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert {100, 101} <= neighbors
+    assert all(r["cosine"] <= 1.0 for r in out)
+
+
+def test_ivf_full_probe_equals_brute(spark, emb):
+    """With nprobe == n_centroids the probe covers every bucket, so
+    IVF must return exactly the brute-force top-k."""
+    from notjusthtml_searchengine_spark.operators.similarity import ivf_topk
+
+    brute = brute_topk(emb, _queries(emb), k=5).orderBy("rk").collect()
+    ivf = ivf_topk(
+        emb, _queries(emb), k=5, n_centroids=4, nprobe=4
+    ).orderBy("rk").collect()
+    assert [(r["neighbor_id"], r["cosine"]) for r in ivf] == [
+        (r["neighbor_id"], r["cosine"]) for r in brute
+    ]
+
+
 def test_no_driver_action_in_operator_construction():
     """Plan-audit: building an LSH operator must not run a Spark job
     (no .first()/.collect()/.count() in the operator module)."""
