@@ -199,6 +199,27 @@ def link_rating(keywords: DataFrame, flagged: DataFrame) -> DataFrame:
     return matched
 
 
+def link_rating_expr(keywords: DataFrame, flagged_rows: list[tuple[str, int]]) -> DataFrame:
+    """Unrolled form of link_rating for config-size flagged lists: the
+    containment tests compile into ONE whole-stage-codegen projection
+    instead of a nested-loop join that materializes |keywords|×|words|
+    intermediate rows. Bit-identical result (the summed terms are
+    small integers in double — order-independent); the round driver
+    uses this when the flagged list is config-sized, the BNLJ form
+    remains the general-operator path (J5)."""
+    expr = F.lit(0.0)
+    for word, prio in flagged_rows:
+        expr = expr + F.when(
+            F.col("text").contains(word),
+            F.col("visibility").cast("double") * float(FLAG_WEIGHT) * float(prio),
+        ).otherwise(0.0)
+    return (
+        keywords.select("link_id", expr.alias("_r"))
+        .groupBy("link_id")
+        .agg(F.sum("_r").alias("rating"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # P1/P2 + override — link priority (crawling.go:18-27, :48-53).
 # ---------------------------------------------------------------------------

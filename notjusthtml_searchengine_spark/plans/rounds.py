@@ -101,6 +101,13 @@ class CrawlEngine:
         self.pages = spark.read.schema(schemas.PAGES).parquet(pages_path)
         self.seeds_path = seeds_path
         self.flagged = ops.load_flagged_words(spark, flagged_path)
+        # config-size list: collected ONCE at engine init so the rating
+        # stage can unroll into a codegen expression (see
+        # crawl_ops.link_rating_expr); falls back to the BNLJ operator
+        # for unexpectedly large lists.
+        self.flagged_rows = [
+            (r["word"], r["priority"]) for r in self.flagged.collect()
+        ]
         self.robots = (
             spark.read.schema(schemas.ROBOTS).parquet(robots_path)
             if (robots_path and cfg.use_robots)
@@ -456,7 +463,10 @@ class CrawlEngine:
         )
         pending.append((keywords, "link_keywords"))
 
-        ratings = ops.link_rating(keywords, self.flagged)
+        if len(self.flagged_rows) <= 512:
+            ratings = ops.link_rating_expr(keywords, self.flagged_rows)
+        else:
+            ratings = ops.link_rating(keywords, self.flagged)
         rated = links.join(ratings, "link_id", "left").withColumn(
             "rating", F.coalesce(F.col("rating"), F.lit(0.0))
         )
