@@ -1,0 +1,83 @@
+"""Consumer-side catalog: every sink queryable as SQL, plus the
+canned searches the reference's users run (keyword search by rating,
+pHash near-image lookup, face-descriptor match)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from notjusthtml_searchengine_spark.plans.catalog import (
+    keyword_search,
+    match_faces,
+    register_sinks,
+    similar_images,
+)
+from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
+
+
+@pytest.fixture(scope="module")
+def crawled_state(spark, corpus_dir, tmp_path_factory):
+    state_dir = str(tmp_path_factory.mktemp("catalog_state"))
+    cfg = CrawlConfig(
+        state_dir=state_dir, per_host_budget=5, n_buckets=8,
+        shard_bits=1 << 16, face_detector="fake",
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=os.path.join(corpus_dir, "pages.parquet"),
+        seeds_path=os.path.join(corpus_dir, "seeds.txt"),
+        flagged_path=os.path.join(corpus_dir, "flaggedWords.csv"),
+        robots_path=os.path.join(corpus_dir, "robots.parquet"),
+        cfg=cfg,
+    )
+    eng.run(max_rounds=12)
+    return state_dir
+
+
+def test_register_and_sql_over_every_sink(spark, crawled_state):
+    views = register_sinks(spark, crawled_state)
+    # every DDL table from the reference is queryable
+    for expected in (
+        "contents", "content_blobs", "link_rels", "link_keywords",
+        "errors", "perceptual_hashes", "exif_info", "faces",
+        "sites", "domains", "content_types",
+    ):
+        assert expected in views, expected
+        assert spark.sql(f"SELECT count(*) FROM {expected}").collect()[0][0] >= 0
+    # the reference's "content-type histogram" query via the dim join
+    hist = spark.sql(
+        """SELECT ct.content_type, count(*) AS n
+           FROM contents c JOIN content_types ct USING (content_type_id)
+           GROUP BY 1 ORDER BY n DESC"""
+    ).collect()
+    assert sum(r["n"] for r in hist) == spark.table("contents").count()
+    assert any(r["content_type"].startswith("text/html") for r in hist)
+
+
+def test_keyword_search_ranks_by_rating(spark, crawled_state):
+    register_sinks(spark, crawled_state)
+    out = keyword_search(spark, "spark", limit=10).collect()
+    assert len(out) > 0
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    # every hit really has a matching inbound keyword
+    top = out[0]["url"]
+    n = spark.sql(
+        f"""SELECT count(*) FROM link_keywords k JOIN link_rels r USING (link_id)
+            WHERE r.dest_url = '{top}' AND contains(k.text, 'spark')"""
+    ).collect()[0][0]
+    assert n == out[0]["n_matching_links"]
+
+
+def test_similar_images_and_face_match(spark, crawled_state):
+    register_sinks(spark, crawled_state)
+    ph = spark.table("perceptual_hashes").first()
+    hits = similar_images(spark, ph["phash"], max_hamming=0).collect()
+    assert any(r["content_id"] == ph["content_id"] for r in hits)
+    assert all(r["hamming"] == 0 for r in hits)
+
+    face = spark.table("faces").first()
+    got = match_faces(spark, list(face["descriptor"]), k=3, max_distance=None).collect()
+    assert got[0]["content_id"] == face["content_id"]  # self is nearest
+    assert got[0]["dist"] == pytest.approx(0.0, abs=1e-6)
