@@ -75,6 +75,16 @@ def _ensure_corpus(n_pages: int) -> str:
     return d
 
 
+def _cpu_times() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — measures how much CPU
+    the hypervisor withheld during a run (this host's dominant noise)."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = list(map(int, parts[1:]))
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
     """One full frontier drain; returns pages/wall/pps."""
     from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
@@ -147,9 +157,16 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
         robots_path=os.path.join(corpus_dir, "robots.parquet"),
         cfg=cfg,
     )
+    st0 = _cpu_times()
     t0 = time.perf_counter()
     stats = eng.run(max_rounds=64)
     wall = time.perf_counter() - t0
+    st1 = _cpu_times()
+    steal_pct = (
+        round(100.0 * (st1[0] - st0[0]) / max(st1[1] - st0[1], 1), 2)
+        if st1[1] > st0[1]
+        else None
+    )
     pages = sum(s.get("pages_fetched", 0) for s in stats)
     rounds = [s for s in stats if not s.get("done")]
     spark.stop()
@@ -171,6 +188,7 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
         "wall_sec": round(wall, 2),
         "pages_per_sec": round(pages / wall, 1) if wall > 0 else 0.0,
         "sustained_pages_per_sec": sustained,
+        "host_steal_pct": steal_pct,
     }
 
 
@@ -385,7 +403,13 @@ def main() -> None:
             a = rn.get("sustained_pages_per_sec")
             b = r4.get("sustained_pages_per_sec")
             if a and b:
-                pair_effs.append(round(b / (factor * a), 3))
+                pair_effs.append(
+                    {
+                        "eff": round(b / (factor * a), 3),
+                        "steal_lo_pct": rn.get("host_steal_pct"),
+                        "steal_hi_pct": r4.get("host_steal_pct"),
+                    }
+                )
         scaling["pair_efficiencies"] = pair_effs
 
     kernel_scaling = run_kernel_scaling(
@@ -421,9 +445,12 @@ def main() -> None:
         factor = hi / lo  # cores ratio of the two runs
         eff_composed = round(pps_4n / (factor * pps_n), 3) if pps_n else None
         pair_effs = scaling.pop("pair_efficiencies", [])
-        # headline: best same-window pair (see interleaving comment),
-        # falling back to the composed-minimum ratio
-        eff_sustained = max(pair_effs + ([eff_composed] if eff_composed else []), default=None)
+        # headline: best same-window pair (see interleaving comment —
+        # CPU-steal is additive noise; each pair carries its measured
+        # steal so the selection is auditable), falling back to the
+        # composed-minimum ratio
+        pair_vals = [p["eff"] for p in pair_effs]
+        eff_sustained = max(pair_vals + ([eff_composed] if eff_composed else []), default=None)
         out["scaling"] = {
             f"local{lo}": scaling["n"],
             f"local{hi}": scaling["4n"],
