@@ -23,9 +23,9 @@ from .session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser(prog="notjusthtml_searchengine_spark")
-    ap.add_argument("--pages", required=True, help="pages parquet path/dir")
-    ap.add_argument("--seeds", required=True, help="seed url list (text)")
-    ap.add_argument("--flagged", required=True, help="flaggedWords.csv")
+    ap.add_argument("--pages", default=None, help="pages parquet path/dir")
+    ap.add_argument("--seeds", default=None, help="seed url list (text)")
+    ap.add_argument("--flagged", default=None, help="flaggedWords.csv")
     ap.add_argument("--robots", default=None, help="robots rules parquet")
     ap.add_argument("--state", required=True, help="checkpoint/state dir")
     ap.add_argument("--round-budget", type=int, default=None)
@@ -39,8 +39,31 @@ def main() -> None:
     )
     ap.add_argument("--buckets", type=int, default=256)
     ap.add_argument("--master", default=None)
+    # query mode (consumer catalog over an existing state dir):
+    ap.add_argument("--search-keyword", default=None, metavar="TERM",
+                    help="skip crawling; keyword-search the state dir")
+    ap.add_argument("--match-phash", type=int, default=None, metavar="HASH",
+                    help="skip crawling; find images near this pHash")
+    ap.add_argument("--limit", type=int, default=20)
     args = ap.parse_args()
 
+    if args.search_keyword is not None or args.match_phash is not None:
+        from .plans.catalog import keyword_search, register_sinks, similar_images
+
+        spark = get_spark(app_name="njh-query", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        register_sinks(spark, args.state)
+        if args.search_keyword is not None:
+            rows = keyword_search(spark, args.search_keyword, limit=args.limit).collect()
+        else:
+            rows = similar_images(spark, args.match_phash).limit(args.limit).collect()
+        for r in rows:
+            print(json.dumps(r.asDict(), default=str))
+        return
+
+    for req in ("pages", "seeds", "flagged"):
+        if getattr(args, req) is None:
+            ap.error(f"--{req} is required for crawling")
     spark = get_spark(app_name="njh-crawl", master=args.master)
     cfg = CrawlConfig(
         state_dir=args.state,
