@@ -354,7 +354,7 @@ def main() -> None:
     runs = [(f"local[{lo}]", "n"), (f"local[{hi}]", "4n")]
     if os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") == "0":
         runs = [(f"local[{hi}]", "4n")]
-    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "4"))
+    attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
     def one_crawl(master: str) -> dict:
         proc = subprocess.run(
