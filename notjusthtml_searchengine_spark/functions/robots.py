@@ -15,10 +15,14 @@ Parser follows RFC 9309 (Robots Exclusion Protocol):
     milliseconds;
   * comments (#) and blank lines per spec; unknown directives ignored.
 
-The engine's filter matches PREFIXES (startswith), so RFC wildcard
-patterns are conservatively reduced: a rule is truncated at its first
-'*'; a bare '$'-anchored rule keeps its prefix (may over-block — the
-safe direction for a polite crawler). Empty Disallow ("allow all")
+The engine's filter matches PREFIXES (startswith) with RFC 9309
+longest-match precedence (the longest matching rule wins; allow wins
+ties). Wildcard patterns are conservatively reduced in the SAFE
+direction only: a Disallow is truncated at its first '*' / stripped
+of a trailing '$' (may over-block — fine for a polite crawler), while
+an Allow containing '*' or anchored with '$' is DROPPED entirely
+(truncating an Allow would WIDEN it: 'Allow: /*.css' → '/' would
+defeat every Disallow on the host). Empty Disallow ("allow all")
 produces no rule, per spec.
 
 Vectorized form (`robots_rules`) runs as one mapInPandas over
@@ -33,10 +37,18 @@ import pandas as pd
 from .. import schemas
 
 
-def _clean_pattern(p: str) -> str | None:
-    """RFC pattern → engine prefix. None = no usable rule."""
+def _clean_pattern(p: str, allow: bool = False) -> str | None:
+    """RFC pattern → engine prefix. None = no usable rule.
+
+    Reduction must never widen a rule's effect: truncation shortens
+    the prefix, which for a Disallow only blocks MORE (safe) but for
+    an Allow would permit MORE (unsafe — a wildcard Allow reduced to
+    '/' overrides every Disallow under longest-match). So Allow rules
+    with '*' or a '$' anchor are dropped instead of reduced."""
     p = p.strip()
     if not p:
+        return None
+    if allow and ("*" in p or p.endswith("$")):
         return None
     star = p.find("*")
     if star >= 0:
@@ -70,7 +82,7 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> dict:
         if cur is None:
             continue  # rules before any user-agent line are ignored
         if field == "allow":
-            p = _clean_pattern(value)
+            p = _clean_pattern(value, allow=True)
             if p is not None:
                 cur["allow"].append(p)
         elif field == "disallow":

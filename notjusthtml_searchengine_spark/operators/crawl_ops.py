@@ -257,21 +257,39 @@ def collapse_candidates(cands: DataFrame) -> DataFrame:
 # Blocked candidates never enter the seen set (they may become
 # allowed later when rules change).
 # ---------------------------------------------------------------------------
+def _longest_match_len(prefixes, path):
+    """Length of the longest rule prefix matching ``path`` (-1: none).
+    Pure array built-ins — stays inside whole-stage codegen."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.filter(
+                    F.coalesce(prefixes, F.array()),
+                    lambda p: path.startswith(p),
+                ),
+                F.length,
+            )
+        ),
+        F.lit(-1),
+    )
+
+
 def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
-    """cands must carry url_norm + host. Returns allowed rows only."""
+    """cands must carry url_norm + host. Returns allowed rows only.
+
+    RFC 9309 §2.2.2 precedence: the MOST SPECIFIC (longest) matching
+    rule wins; an allow wins ties. So a row is blocked iff the longest
+    matching disallow prefix is strictly longer than the longest
+    matching allow prefix."""
     path = F.expr("parse_url(url_norm, 'PATH')")
     joined = cands.withColumn("_path", path).join(
         F.broadcast(robots.select("host", "allow_prefixes", "disallow_prefixes")),
         "host",
         "left",
     )
-    blocked = F.exists(
-        F.coalesce(F.col("disallow_prefixes"), F.array()),
-        lambda p: F.col("_path").startswith(p),
-    ) & ~F.exists(
-        F.coalesce(F.col("allow_prefixes"), F.array()),
-        lambda p: F.col("_path").startswith(p),
-    )
+    blocked = _longest_match_len(
+        F.col("disallow_prefixes"), F.col("_path")
+    ) > _longest_match_len(F.col("allow_prefixes"), F.col("_path"))
     return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
         "_path", "allow_prefixes", "disallow_prefixes"
     )

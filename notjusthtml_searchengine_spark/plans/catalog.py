@@ -16,8 +16,6 @@ warehouse scale the same calls point at the Iceberg tables instead
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,14 +48,9 @@ def register_sinks(
     state = CrawlState(state_dir)
     registered = []
     for name, schema in SINK_SCHEMAS.items():
-        glob = state.sink_glob(name)
-        rounds_dir = os.path.join(state.root, "rounds")
-        if not any(
-            os.path.isdir(os.path.join(rounds_dir, d, name))
-            for d in os.listdir(rounds_dir)
-        ):
+        if not state.sink_exists(name):
             continue
-        df = spark.read.schema(schema).parquet(glob)
+        df = spark.read.schema(schema).parquet(state.sink_glob(name))
         view = f"{prefix}{name}"
         df.createOrReplaceTempView(view)
         registered.append(view)
@@ -70,8 +63,14 @@ def keyword_search(
     """Pages ranked by the summed rating of inbound links whose anchor
     keywords contain ``term`` (the reference's core search: flagged
     keyword text drives link ratings)."""
-    kw = spark.table(f"{prefix}link_keywords").filter(
-        F.col("text").contains(term)
+    # dedup to one row per LINK before joining ratings: a link whose
+    # anchor has N keywords containing the term must contribute its
+    # rating once, and n_matching_links counts links, not keyword rows
+    kw = (
+        spark.table(f"{prefix}link_keywords")
+        .filter(F.col("text").contains(term))
+        .select("link_id")
+        .distinct()
     )
     rels = spark.table(f"{prefix}link_rels")
     return (

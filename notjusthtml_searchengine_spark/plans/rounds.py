@@ -342,7 +342,10 @@ class CrawlEngine:
             ]
             for dim_name, dim_schema, key, dim_df in dims:
                 d = dim_df.dropDuplicates([key])
-                if r > 1:
+                # guard on files actually existing: resuming a state
+                # dir whose earlier rounds never wrote this dim (sink
+                # newly enabled) must insert all keys, not fail the read
+                if r > 1 and self.state.sink_exists(dim_name):
                     existing = self.spark.read.schema(dim_schema).parquet(
                         self.state.sink_glob(dim_name)
                     )
@@ -359,7 +362,7 @@ class CrawlEngine:
             # broadcast below the same threshold as the fetch batch.
             blob_glob = self.state.sink_glob("content_blobs")
             winners = ok.groupBy("sha1").agg(F.min("url_norm").alias("_w"))
-            if r > 1:
+            if r > 1 and self.state.sink_exists("content_blobs"):
                 existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
                 winners = winners.join(existing.select("sha1"), "sha1", "left_anti")
             if n_batch <= cfg.fetch_broadcast_rows:

@@ -151,6 +151,16 @@ class CrawlState:
         """Read-path glob for a sink across all rounds."""
         return os.path.join(self.root, "rounds", "r*", name)
 
+    def sink_exists(self, name: str) -> bool:
+        """True iff any committed-or-not round dir has written ``name``
+        (guards glob reads: a matching-nothing glob raises on read —
+        e.g. resuming with a sink newly enabled mid-crawl)."""
+        rounds_dir = os.path.join(self.root, "rounds")
+        return any(
+            os.path.isdir(os.path.join(rounds_dir, d, name))
+            for d in os.listdir(rounds_dir)
+        )
+
     # -- bucketed state tables (SURVEY §4.2) ---------------------------
     # seen/frontier are written as parquet tables bucketed by
     # pmod-hash(url_hash) so the load-bearing anti-joins (J2/E1) never

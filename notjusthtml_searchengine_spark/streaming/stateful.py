@@ -54,16 +54,23 @@ def stream_first_seen(
             state.remove()
             return
         seen: set[int] = set(state.get[0]) if state.exists else set()
+        # Bounded state: past the cap, NEW urls are still EMITTED (never
+        # silently dropped — downstream batch J2 dedups any resulting
+        # repeats), they just stop being remembered. overflow_local
+        # keeps this call's emissions duplicate-free without growing
+        # the persisted state.
+        overflow_local: set[int] = set()
         host = key[0]
         for pdf in pdfs:
             urls, tss = [], []
             for url, ts in zip(pdf[url_col], pdf[ts_col]):
                 h = xxhash64_str(url)
-                if h in seen:
+                if h in seen or h in overflow_local:
                     continue
-                if len(seen) >= max_state_per_host:
-                    continue  # bounded state: overflow defers to batch J2
-                seen.add(h)
+                if len(seen) < max_state_per_host:
+                    seen.add(h)
+                else:
+                    overflow_local.add(h)
                 urls.append(url)
                 tss.append(ts)
             if urls:

@@ -61,13 +61,18 @@ def test_keyword_search_ranks_by_rating(spark, crawled_state):
     assert len(out) > 0
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
-    # every hit really has a matching inbound keyword
+    # every hit really has a matching inbound keyword; links (not
+    # keyword rows) are what n_matching_links counts, and each link's
+    # rating is summed once even with several matching keywords
     top = out[0]["url"]
-    n = spark.sql(
-        f"""SELECT count(*) FROM link_keywords k JOIN link_rels r USING (link_id)
-            WHERE r.dest_url = '{top}' AND contains(k.text, 'spark')"""
-    ).collect()[0][0]
+    n, score = spark.sql(
+        f"""SELECT count(DISTINCT k.link_id), sum(r.rating) FROM link_rels r
+            JOIN (SELECT DISTINCT link_id FROM link_keywords
+                  WHERE contains(text, 'spark')) k USING (link_id)
+            WHERE r.dest_url = '{top}'"""
+    ).collect()[0]
     assert n == out[0]["n_matching_links"]
+    assert score == pytest.approx(out[0]["score"])
 
 
 def test_similar_images_and_face_match(spark, crawled_state):

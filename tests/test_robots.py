@@ -42,8 +42,39 @@ def test_group_selection_longest_match():
 def test_fallback_star_group_and_wildcard_reduction():
     g = parse_robots_txt(BODY, user_agent="randombot")
     assert g["disallow_prefixes"] == ["/blocked/"]  # empty Disallow dropped
-    assert g["allow_prefixes"] == ["/blocked/ok"]  # truncated at '*'
+    # wildcard Allow is DROPPED (truncating would widen it and defeat
+    # the Disallow under longest-match precedence)
+    assert g["allow_prefixes"] == []
     assert g["crawl_delay_ms"] is None
+
+
+def test_wildcard_allow_never_widens():
+    body = "User-agent: *\nDisallow: /private/\nAllow: /*.css\nAllow: /page$\n"
+    g = parse_robots_txt(body, "bot")
+    assert g["allow_prefixes"] == []  # both unsafe Allows dropped
+    assert g["disallow_prefixes"] == ["/private/"]
+    # Disallow reduction stays (over-blocks only)
+    g2 = parse_robots_txt("User-agent: *\nDisallow: /a*/b\nDisallow: /c$\n", "bot")
+    assert g2["disallow_prefixes"] == ["/a", "/c"]
+
+
+def test_longest_match_precedence(spark):
+    rules = spark.createDataFrame(
+        [("h.ex", ["/private/pub"], ["/private/", "/p"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://h.ex/private/pub/x", "h.ex"),   # allow 12 > dis 9 → allowed
+            ("http://h.ex/private/secret", "h.ex"),  # dis 9 > allow -1 → blocked
+            ("http://h.ex/public", "h.ex"),          # dis 2 (/p) > allow -1 → blocked
+            ("http://h.ex/other", "h.ex"),           # no match → allowed
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {"http://h.ex/private/pub/x", "http://h.ex/other"}
 
 
 def test_empty_and_garbage_bodies():

@@ -78,12 +78,23 @@ def test_first_seen_dedup_across_microbatches(spark, tmp_path):
     assert len(rows2) == 5
 
 
-def test_state_cap_bounds_memory(spark, tmp_path):
+def test_state_cap_bounds_memory_without_data_loss(spark, tmp_path):
+    """Past max_state_per_host, new urls are still EMITTED (no silent
+    data loss); only the memory of them is bounded, so repeats of
+    overflow urls in LATER micro-batches re-emit (batch J2 dedups)."""
     in_dir = tmp_path / "in2"
     in_dir.mkdir()
-    _drop(in_dir / "d0.parquet", [f"http://h1.ex/{i}" for i in range(10)])
+    # batch 0 exactly fills the cap (state = a,b,c). batch 1: a
+    # suppressed (in state); d,e overflow → EMITTED; in-batch repeat
+    # of d suppressed locally. batch 2: b suppressed; d (overflow,
+    # never remembered) re-emitted.
+    a, b, c, d, e = (f"http://h1.ex/{x}" for x in "abcde")
+    _drop(in_dir / "d0.parquet", [a, b, c])
+    _drop(in_dir / "d1.parquet", [a, d, e, d])
+    _drop(in_dir / "d2.parquet", [b, d])
     pages = (
         spark.readStream.schema(schemas.PAGES)
+        .option("maxFilesPerTrigger", 1)
         .parquet(str(in_dir))
         .withColumn("host", F.expr("parse_url(url, 'HOST')"))
     )
@@ -96,4 +107,10 @@ def test_state_cap_bounds_memory(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    assert spark.sql("SELECT count(*) FROM capped_firsts").collect()[0][0] == 3
+    rows = spark.sql("SELECT url FROM capped_firsts").collect()
+    urls = [r["url"] for r in rows]
+    # every distinct url surfaced at least once — nothing lost
+    assert set(urls) == {a, b, c, d, e}
+    assert len(urls) == 6  # 3 + 2 + 1
+    assert urls.count(d) == 2  # overflow url re-emitted across batches
+    assert urls.count(a) == 1 and urls.count(b) == 1  # in-state suppressed
