@@ -374,8 +374,9 @@ def main() -> None:
     # all N-level attempts then all 4N-level attempts would compare
     # two different machines. Each (lo, hi) pair runs back-to-back so
     # both levels sample the same steal environment; the per-pair
-    # efficiency distribution is reported, headline = best pair (the
-    # cleanest common window — steal is strictly additive noise).
+    # efficiency distribution is reported, headline = MEDIAN pair
+    # (max would select pairs where steal hit the lo run and inflated
+    # the ratio; the per-pair list + steal stays as the audit trail).
     results: dict[str, list[dict]] = {tag: [] for _, tag in runs}
     for _ in range(attempts):
         for master, tag in runs:
@@ -451,12 +452,23 @@ def main() -> None:
         factor = hi / lo  # cores ratio of the two runs
         eff_composed = round(pps_4n / (factor * pps_n), 3) if pps_n else None
         pair_effs = scaling.pop("pair_efficiencies", [])
-        # headline: best same-window pair (see interleaving comment —
-        # CPU-steal is additive noise; each pair carries its measured
-        # steal so the selection is auditable), falling back to the
-        # composed-minimum ratio
-        pair_vals = [p["eff"] for p in pair_effs]
-        eff_sustained = max(pair_vals + ([eff_composed] if eff_composed else []), default=None)
+        # headline: MEDIAN of the same-window pair efficiencies —
+        # max() selected exactly the pairs where steal hit the
+        # lo-level run and inflated the ratio above truth (recorded
+        # pairs above the measured platform ceiling). The per-pair
+        # list with steal stays as the audit trail; composed-minimum
+        # ratio is the fallback when no pair completed.
+        pair_vals = sorted(p["eff"] for p in pair_effs)
+        if pair_vals:
+            m = len(pair_vals)
+            eff_sustained = round(
+                pair_vals[m // 2]
+                if m % 2
+                else (pair_vals[m // 2 - 1] + pair_vals[m // 2]) / 2,
+                3,
+            )
+        else:
+            eff_sustained = eff_composed
         out["scaling"] = {
             f"local{lo}": scaling["n"],
             f"local{hi}": scaling["4n"],
@@ -474,7 +486,38 @@ def main() -> None:
             out["scaling"]["efficiency_sustained_vs_platform_ceiling"] = round(
                 eff_sustained / ceiling, 3
             )
-    print(json.dumps(out))
+
+    # Full audit detail goes to a file; the FINAL stdout line is a
+    # COMPACT summary (the harness captures a bounded output tail and
+    # truncated the former fat line into unparseable JSON).
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/last_run_full.json", "w") as f:
+        json.dump(out, f, indent=1)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": queries,
+        "sf": sf,
+        "crawl": {
+            k: crawl_main.get(k)
+            for k in ("pages_fetched", "rounds", "wall_sec", "pages_per_sec",
+                      "sustained_pages_per_sec", "host_steal_pct")
+        },
+    }
+    if "scaling" in out:
+        s = out["scaling"]
+        compact["scaling"] = {
+            "efficiency_sustained": s.get("efficiency_sustained"),
+            "pairs": [p["eff"] for p in s.get("efficiency_sustained_pairs", [])],
+            "composed": s.get("efficiency_sustained_composed"),
+            "platform_ceiling": calib.get("platform_ceiling"),
+            "levels": [lo, hi],
+        }
+    if "efficiency" in kernel_scaling:
+        compact["kernel_scaling_efficiency"] = kernel_scaling["efficiency"]
+    compact["full_detail"] = "BENCH/last_run_full.json"
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

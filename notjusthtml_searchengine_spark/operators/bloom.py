@@ -11,9 +11,11 @@ The bloom is a *pre-filter only*; exactness always comes from the
 seen-table anti-join (J2). Probe protocol (plans/rounds.py):
 bloom-NEGATIVE candidates are definitely unseen and skip the exact
 join entirely; only bloom-POSITIVE candidates (steady-state: mostly
-true duplicates + eps false positives) are checked exactly — with two
-broadcast joins, so the huge seen table is scanned but never
-shuffled.
+true duplicates + eps false positives) are checked exactly — via
+chained co-partitioned anti-joins against the bucketed seen parts
+(crawl_ops.seen_anti_join_parts): the seen side is never exchanged
+or broadcast-collected, and the candidate side shuffles once, reused
+across the whole chain.
 
 Hash scheme: double hashing h_i = h1 + i*h2 (Kirsch-Mitzenmacher)
 over h1 = xxhash64(url_norm), h2 = xxhash64(url_norm, 1) — both
