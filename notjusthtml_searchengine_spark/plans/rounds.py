@@ -131,7 +131,7 @@ class CrawlEngine:
             .withColumn("round_added", F.lit(0))
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
-        self.state.write_bucketed(frontier, r, "frontier", self.cfg.n_buckets)
+        self.state.write_bucketed(frontier, r, "frontier_full", self.cfg.n_buckets)
         empty_seen = self.spark.createDataFrame([], schemas.SEEN)
         self.state.write_bucketed(empty_seen, r, "seen_full", self.cfg.n_buckets)
         if self.cfg.bloom_prefilter:
@@ -143,7 +143,9 @@ class CrawlEngine:
             r,
             {
                 "seen_parts": [f"r{r:05d}/seen_full"],
-                "frontier": f"r{r:05d}/frontier",
+                "frontier_parts": [f"r{r:05d}/frontier_full"],
+                "drained_parts": [],
+                "sites_parts": [],
                 "bloom": f"r{r:05d}/bloom" if self.cfg.bloom_prefilter else None,
                 "pages_fetched": 0,
                 "n_buckets": self.cfg.n_buckets,
@@ -172,6 +174,55 @@ class CrawlEngine:
             out = out.unionByName(d)
         return out
 
+    def _frontier_view(self, stats: dict, n_buckets: int) -> DataFrame:
+        """Live frontier = union of bucketed parts minus tombstones.
+
+        Incremental layout (mirrors seen_delta/seen_full): a round
+        appends only its NEW urls (``frontier_delta``) plus a skinny
+        tombstone table of the urls it drained (``drained``); the
+        full table is rewritten only on the compaction cadence. A row
+        is live iff no tombstone with drained_round > row.round_added
+        exists — the ``>=`` keep-side comparison lets a seed drained
+        in round r and rediscovered as a link in the SAME round
+        re-enqueue (seeds never enter the seen set, bootstrap
+        docstring), matching the old full-rewrite semantics exactly.
+        Per-round state WRITE volume is ∝ the round delta; the read
+        side joins co-bucketed skinny tables.
+        """
+        from .state import DRAINED_DDL, FRONTIER_DDL
+
+        parts = [
+            self.state.read_bucketed(self.spark, p, FRONTIER_DDL, n_buckets)
+            for p in stats["frontier_parts"]
+        ]
+        frontier = parts[0]
+        for p in parts[1:]:
+            frontier = frontier.unionByName(p)
+        drained_parts = stats.get("drained_parts", [])
+        if drained_parts:
+            dfs = [
+                self.state.read_bucketed(self.spark, p, DRAINED_DDL, n_buckets)
+                for p in drained_parts
+            ]
+            drained = dfs[0]
+            for d in dfs[1:]:
+                drained = drained.unionByName(d)
+            # total tombstone volume ≈ recently drained urls (reset at
+            # each compaction); the groupBy is exchange-free on the
+            # bucketed parts
+            tomb = drained.groupBy("url_hash").agg(
+                F.max("drained_round").alias("_drained_round")
+            )
+            frontier = (
+                frontier.join(tomb, "url_hash", "left")
+                .filter(
+                    F.col("_drained_round").isNull()
+                    | (F.col("round_added") >= F.col("_drained_round"))
+                )
+                .drop("_drained_round")
+            )
+        return frontier
+
     def _lineage(self, dfs: dict[str, DataFrame], r: int) -> DataFrame:
         """Per-partition lineage rows (north_rule) in one unioned job."""
         parts = []
@@ -196,12 +247,10 @@ class CrawlEngine:
         cfg = self.cfg
         prev = self.state.manifest(r - 1)
         assert prev is not None, f"round {r - 1} not committed"
-        from .state import FRONTIER_DDL
-
         n_buckets = int(prev["stats"].get("n_buckets", cfg.n_buckets))
-        frontier = self.state.read_bucketed(
-            self.spark, prev["stats"]["frontier"], FRONTIER_DDL, n_buckets
-        )
+        frontier = self._frontier_view(prev["stats"], n_buckets)
+        frontier_parts: list[str] = prev["stats"]["frontier_parts"]
+        drained_parts: list[str] = prev["stats"].get("drained_parts", [])
         seen_parts: list[str] = prev["stats"]["seen_parts"]
         seen_dfs = self._seen_parts(seen_parts, n_buckets)
 
@@ -216,8 +265,6 @@ class CrawlEngine:
         if n_batch == 0:
             batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
-        # url_hash identity: the bucketed frontier side never shuffles
-        rest = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
 
         # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
         # column-prune before the join: text/lang are never used in
@@ -542,8 +589,24 @@ class CrawlEngine:
             F.lit(r).alias("round_added"),
             "url_hash",
         )
-        frontier_next = rest.unionByName(new_frontier)
-        pending.append((frontier_next, "frontier"))
+        # Incremental frontier (see _frontier_view): normal rounds
+        # write ONLY the round delta (new urls) + a skinny tombstone
+        # table of drained url_hashes — O(round activity), not
+        # O(frontier). The full table is rewritten (and tombstones
+        # folded in) on the seen-compaction cadence.
+        if r % cfg.compact_seen_every == 0:
+            rest = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
+            pending.append((rest.unionByName(new_frontier), "frontier_full"))
+            new_frontier_parts = [f"r{r:05d}/frontier_full"]
+            new_drained_parts: list[str] = []
+        else:
+            pending.append((new_frontier, "frontier_delta"))
+            drained_delta = batch.select(
+                "url_hash", F.lit(r).alias("drained_round")
+            )
+            pending.append((drained_delta, "drained"))
+            new_frontier_parts = frontier_parts + [f"r{r:05d}/frontier_delta"]
+            new_drained_parts = drained_parts + [f"r{r:05d}/drained"]
 
         # ---- U8: bloom shard merge ------------------------------------
         bloom_rel = None
@@ -574,7 +637,13 @@ class CrawlEngine:
         # scheduler overlaps the jobs, hiding per-job launch latency).
         from concurrent.futures import ThreadPoolExecutor
 
-        bucketed_names = {"frontier", "seen_delta", "seen_full"}
+        bucketed_names = {
+            "frontier_full",
+            "frontier_delta",
+            "drained",
+            "seen_delta",
+            "seen_full",
+        }
 
         def _flush(t):
             df, name = t
@@ -605,7 +674,8 @@ class CrawlEngine:
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = {
-            "frontier": f"r{r:05d}/frontier",
+            "frontier_parts": new_frontier_parts,
+            "drained_parts": new_drained_parts,
             "seen_parts": new_seen_parts,
             "bloom": bloom_rel,
             "pages_fetched": pages_fetched,

@@ -30,6 +30,10 @@ FRONTIER_DDL = (
     "url_norm STRING, host STRING, priority INT, depth INT, "
     "round_added INT, url_hash BIGINT"
 )
+# tombstones for the incremental frontier: urls drained (fetched) in a
+# round are dead in every part whose copy was added BEFORE that round
+DRAINED_DDL = "url_hash BIGINT, drained_round INT"
+SITES_KEYS_DDL = "site_id BIGINT"
 
 
 class CrawlState:
@@ -93,8 +97,19 @@ class CrawlState:
         return best
 
     # state tables are superseded by newer rounds; sinks are the
-    # engine's OUTPUT and are never touched by retention.
-    STATE_TABLES = ("frontier", "seen_full", "seen_delta", "bloom")
+    # engine's OUTPUT and are never touched by retention. ("frontier"
+    # is the legacy pre-delta full-rewrite table name, kept so GC can
+    # clean up old state dirs.)
+    STATE_TABLES = (
+        "frontier",
+        "frontier_full",
+        "frontier_delta",
+        "drained",
+        "seen_full",
+        "seen_delta",
+        "sites_keys",
+        "bloom",
+    )
 
     def gc_state(self, latest: int, keep_rounds: int = 1, spark=None) -> list[str]:
         """Expire superseded state tables (Iceberg snapshot-expiry
@@ -111,7 +126,10 @@ class CrawlState:
         if m is None:
             return []
         referenced = set(m["stats"].get("seen_parts", []))
-        if m["stats"].get("frontier"):
+        referenced.update(m["stats"].get("frontier_parts", []))
+        referenced.update(m["stats"].get("drained_parts", []))
+        referenced.update(m["stats"].get("sites_parts", []))
+        if m["stats"].get("frontier"):  # legacy single-table layout
             referenced.add(m["stats"]["frontier"])
         if m["stats"].get("bloom"):
             referenced.add(m["stats"]["bloom"])

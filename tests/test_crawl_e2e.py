@@ -222,9 +222,12 @@ def test_state_gc_expires_superseded_only(spark, run_pair):
     if not compacted:
         return
     last_gc = max(compacted)
-    # a superseded frontier from before the compaction must be gone
-    gone = os.path.join(str(state_dir), "rounds", f"r{last_gc - 1:05d}", "frontier")
-    assert not os.path.exists(gone)
+    # superseded frontier state from before the compaction must be
+    # gone (the delta AND its tombstones were folded into the new
+    # frontier_full at last_gc)
+    for tbl in ("frontier_delta", "drained", "frontier_full"):
+        gone = os.path.join(str(state_dir), "rounds", f"r{last_gc - 1:05d}", tbl)
+        assert not os.path.exists(gone), tbl
     # sinks for that same round are all still there
     for sink in ("contents", "link_rels", "errors", "round_stats"):
         assert os.path.exists(
@@ -234,10 +237,8 @@ def test_state_gc_expires_superseded_only(spark, run_pair):
     last = max(fetch_rounds)
     manifest = eng.state.manifest(last)
     assert eng._read_seen(manifest["stats"]["seen_parts"]).count() >= 0
-    frontier = eng.state.read_bucketed(
-        spark, manifest["stats"]["frontier"],
-        __import__("notjusthtml_searchengine_spark.plans.state", fromlist=["FRONTIER_DDL"]).FRONTIER_DDL,
-        manifest["stats"]["n_buckets"],
+    frontier = eng._frontier_view(
+        manifest["stats"], manifest["stats"]["n_buckets"]
     )
     assert frontier.count() >= 0
 
@@ -299,3 +300,48 @@ def test_resume_identical_to_uninterrupted(spark, corpus, corpus_dir, tmp_path_f
         ).collect()
     }
     assert seen_full == seen_part
+
+
+def test_incremental_frontier_write_volume(spark, corpus_dir, tmp_path_factory):
+    """The frontier is NEVER fully rewritten off the compaction
+    cadence: each round writes only frontier_delta (this round's new
+    urls) + a skinny drained tombstone table (this round's batch) —
+    per-round state write volume ∝ round activity, not O(frontier).
+    Semantic equivalence of the delta view to the old full-rewrite
+    layout is pinned by the simulator-equivalence tests above (the
+    run_pair fixture crawls across three compactions)."""
+    state_dir = tmp_path_factory.mktemp("state_incr")
+    eng = _mk_engine(
+        spark, corpus_dir, state_dir,
+        per_host_budget=5, bloom_prefilter=False, n_buckets=8,
+        compact_seen_every=100,  # never compacts in this run
+        media=False, write_blobs=False, dim_tables=False,
+    )
+    stats = eng.run(max_rounds=6)
+    fetch = [s for s in stats if not s.get("done")]
+    assert len(fetch) >= 3
+    for s in fetch:
+        r = s["round"]
+        rd = os.path.join(str(state_dir), "rounds", f"r{r:05d}")
+        assert not os.path.exists(os.path.join(rd, "frontier_full"))
+        delta = spark.read.schema(schemas.FRONTIER).parquet(
+            os.path.join(rd, "frontier_delta")
+        )
+        assert delta.count() == s["new_frontier"]
+        drained = spark.read.schema("url_hash long, drained_round int").parquet(
+            os.path.join(rd, "drained")
+        )
+        assert drained.count() == s["batch"]
+    # the live view over parts+tombstones stays readable and excludes
+    # every drained url (a fetched url may only still be queued if it
+    # is a seed rediscovered as a link — the faithful re-enqueue quirk)
+    last = max(s["round"] for s in fetch)
+    m = eng.state.manifest(last)
+    view = eng._frontier_view(m["stats"], 8)
+    with open(os.path.join(corpus_dir, "seeds.txt")) as f:
+        seed_urls = [line.strip() for line in f if line.strip()]
+    fetched_urls = _read_sink(spark, state_dir, "contents", schemas.CONTENTS)
+    requeued = view.join(
+        fetched_urls.select(F.col("url").alias("url_norm")), "url_norm", "inner"
+    ).filter(~F.col("url_norm").isin(seed_urls))
+    assert requeued.count() == 0
