@@ -27,6 +27,10 @@ def main() -> None:
     ap.add_argument("--seeds", default=None, help="seed url list (text)")
     ap.add_argument("--flagged", default=None, help="flaggedWords.csv")
     ap.add_argument("--robots", default=None, help="robots rules parquet")
+    ap.add_argument(
+        "--fetch-robots", action="store_true",
+        help="prefetch+parse robots.txt per host inside the loop",
+    )
     ap.add_argument("--state", required=True, help="checkpoint/state dir")
     ap.add_argument("--round-budget", type=int, default=None)
     ap.add_argument("--per-host-budget", type=int, default=64)
@@ -73,6 +77,7 @@ def main() -> None:
         media=not args.no_media,
         face_detector=args.face_detector,
         n_buckets=args.buckets,
+        fetch_robots_txt=args.fetch_robots,
     )
     eng = CrawlEngine(spark, args.pages, args.seeds, args.flagged, args.robots, cfg)
     stats = eng.run(max_rounds=args.max_rounds)

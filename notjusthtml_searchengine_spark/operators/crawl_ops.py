@@ -17,6 +17,9 @@ from ..session import MAX_FILESIZE
 PRIORITY_SEED = 90
 PRIORITY_IMAGE = 90
 PRIORITY_PROMOTED = 80
+# robots.txt prefetch outranks everything else for a host (north_rule
+# politeness; no reference counterpart — the reference has no robots)
+PRIORITY_ROBOTS = 95
 RATING_PROMOTE_THRESHOLD = 20.0
 FLAG_WEIGHT = 2  # flagPriorityVsKeywordVisibility, crawling.go:110
 
@@ -303,6 +306,20 @@ def seen_anti_join(cands: DataFrame, seen: DataFrame) -> DataFrame:
     return cands.join(seen.select("url_norm"), "url_norm", "left_anti")
 
 
+def anti_join_parts(
+    df: DataFrame, parts: list[DataFrame], key: str = "url_hash"
+) -> DataFrame:
+    """Chained co-partitioned anti-joins against bucketed state parts
+    keyed by ``key`` — the part side never exchanges; ``df`` exchanges
+    once and the partitioning is reused across the chain. Shared by
+    the seen check (url_hash) and the sites-dim insert check
+    (site_id)."""
+    out = df
+    for p in parts:
+        out = out.join(p.select(key), key, "left_anti")
+    return out
+
+
 def seen_anti_join_parts(cands: DataFrame, seen_parts: list[DataFrame]) -> DataFrame:
     """J2/E1 at scale: chained per-part anti-joins on ``url_hash``.
 
@@ -319,7 +336,4 @@ def seen_anti_join_parts(cands: DataFrame, seen_parts: list[DataFrame]) -> DataF
     FP (/root/reference/main.go:21,54): expected hash collisions at a
     10^10-URL frontier ≈ 3 (vs ~10^8 Bloom false-drops).
     """
-    out = cands
-    for p in seen_parts:
-        out = out.join(p.select("url_hash"), "url_hash", "left_anti")
-    return out
+    return anti_join_parts(cands, seen_parts, key="url_hash")

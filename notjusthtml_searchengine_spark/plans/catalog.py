@@ -36,6 +36,7 @@ SINK_SCHEMAS = {
     "sites": schemas.SITES,
     "domains": schemas.DOMAINS,
     "content_types": schemas.CONTENT_TYPES,
+    "robots": schemas.ROBOTS,
 }
 
 

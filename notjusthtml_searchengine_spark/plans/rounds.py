@@ -55,6 +55,14 @@ class CrawlConfig:
     # a host's per-round cap becomes round_seconds*1000/crawl_delay_ms
     round_seconds: float | None = None
     use_robots: bool = True
+    # Self-ingest robots.txt inside the loop (north_rule): enqueue
+    # <scheme>://<host>/robots.txt at PRIORITY_ROBOTS for every host
+    # seen among candidates, parse fetched robots bodies into rules
+    # rows (sink "robots"), and apply them — rules fetched THIS round
+    # already filter this round's own candidates. Off by default: with
+    # no robots.txt pages in the corpus it only adds per-host miss
+    # error rows.
+    fetch_robots_txt: bool = False
     bloom_prefilter: bool = True
     n_buckets: int = 32
     shard_bits: int = 1 << 20  # per-shard bloom bits (scale: size per bucket)
@@ -66,9 +74,17 @@ class CrawlConfig:
     face_detector: str = "none"
     write_blobs: bool = True
     dim_tables: bool = True  # sites/domains/content_types sinks
-    # J6 fetch: broadcast the batch below this row count, else
-    # shuffle-hash (pages bucketed by url hash at that scale)
-    fetch_broadcast_rows: int = 4_000_000
+    # J6 fetch / blob-winner joins: broadcast the skinny side only
+    # below this ESTIMATED byte size (measured url+host chars + fixed
+    # per-row overhead in the same job as the batch count), else
+    # shuffle-hash (pages bucketed by url hash at that scale).
+    # Row-count thresholds mis-measure wide rows and a 4M-row url
+    # batch is hundreds of MB on every executor heap — bytes are what
+    # the broadcast actually costs.
+    broadcast_max_bytes: int = 64 << 20
+    # estimated per-row overhead beyond measured string chars (hash,
+    # ints, arrow/unsafe-row framing)
+    broadcast_row_overhead: int = 48
     # Cache the fat (html) fetch result between branches. True trades
     # memory bandwidth (serialize once + deserialize per consumer) for
     # fewer scans; False re-derives each fat branch from the compressed
@@ -174,6 +190,51 @@ class CrawlEngine:
             out = out.unionByName(d)
         return out
 
+    @staticmethod
+    def _latest_per_host(rules: DataFrame) -> DataFrame:
+        """One rules row per host: highest fetched_round wins; freshly
+        fetched rows (_src=1) beat the static table on ties."""
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("host").orderBy(
+            F.desc_nulls_last("fetched_round"), F.desc("_src")
+        )
+        return (
+            rules.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_src")
+        )
+
+    def _robots_view(self) -> DataFrame | None:
+        """Effective robots rules at round start: the pre-supplied
+        table merged with rules derived from robots.txt bodies fetched
+        in PRIOR rounds (sink "robots"), latest per host."""
+        base = None
+        if self.robots is not None:
+            base = self.robots.withColumn("_src", F.lit(0))
+        if self.cfg.fetch_robots_txt and self.state.sink_exists("robots"):
+            fetched = (
+                self.spark.read.schema(schemas.ROBOTS)
+                .parquet(self.state.sink_glob("robots"))
+                .withColumn("_src", F.lit(1))
+            )
+            base = fetched if base is None else base.unionByName(fetched)
+        return None if base is None else self._latest_per_host(base)
+
+    def _batch_stats(self, batch: DataFrame) -> tuple[int, int]:
+        """(row count, estimated broadcast bytes) in ONE job: measured
+        url+host chars + a fixed per-row overhead. Replaces the old
+        row-count broadcast threshold (rows mis-measure wide rows)."""
+        row = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.length("url_norm") + F.coalesce(F.length("host"), F.lit(0))
+            ).alias("chars"),
+        ).first()
+        n = int(row["n"])
+        est = int(row["chars"] or 0) + self.cfg.broadcast_row_overhead * n
+        return n, est
+
     def _frontier_view(self, stats: dict, n_buckets: int) -> DataFrame:
         """Live frontier = union of bucketed parts minus tombstones.
 
@@ -223,17 +284,21 @@ class CrawlEngine:
             )
         return frontier
 
-    def _lineage(self, dfs: dict[str, DataFrame], r: int) -> DataFrame:
-        """Per-partition lineage rows (north_rule) in one unioned job."""
+    def _lineage(self, dfs: dict[str, tuple], r: int) -> DataFrame:
+        """Per-partition lineage rows (north_rule) in one unioned job:
+        row count AND payload byte sum per partition (each stage names
+        the column expression that measures its payload)."""
         parts = []
-        for stage, df in dfs.items():
+        for stage, (df, bytes_expr) in dfs.items():
             parts.append(
                 df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
-                    F.count(F.lit(1)).alias("rows_out")
+                    F.count(F.lit(1)).alias("rows_out"),
+                    F.coalesce(F.sum(bytes_expr), F.lit(0))
+                    .cast("long")
+                    .alias("bytes"),
                 )
                 .withColumn("round", F.lit(r))
                 .withColumn("stage", F.lit(stage))
-                .withColumn("bytes", F.lit(None).cast("long"))
                 .select("round", "stage", "partition_id", "rows_out", "bytes")
             )
         out = parts[0]
@@ -255,13 +320,15 @@ class CrawlEngine:
         seen_dfs = self._seen_parts(seen_parts, n_buckets)
 
         # ---- W1/W2: drain --------------------------------------------
+        robots_rules_df = self._robots_view()
         host_caps = None
-        if self.robots is not None and cfg.round_seconds:
-            host_caps = ops.crawl_delay_caps(self.robots, cfg.round_seconds)
+        if robots_rules_df is not None and cfg.round_seconds:
+            host_caps = ops.crawl_delay_caps(robots_rules_df, cfg.round_seconds)
         batch = ops.drain_frontier(
             frontier, cfg.round_budget, cfg.per_host_budget, host_caps=host_caps
         ).persist(_CACHE)
-        n_batch = batch.count()
+        n_batch, batch_bytes = self._batch_stats(batch)
+        broadcast_batch = batch_bytes <= cfg.broadcast_max_bytes
         if n_batch == 0:
             batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
@@ -274,7 +341,7 @@ class CrawlEngine:
         fetched = ops.fetch_hits(
             batch,
             self.pages.select("url", "warc_ts", "html"),
-            broadcast_batch=n_batch <= cfg.fetch_broadcast_rows,
+            broadcast_batch=broadcast_batch,
         )
         gated = ops.gate_fetched(fetched)
         # Salted redistribution before the fat UDFs spreads hot hosts
@@ -360,14 +427,44 @@ class CrawlEngine:
         # below resolves its file list at plan-construction time (before
         # this round's dirs exist), so the concurrent sink writes cannot
         # race it.
+        new_sites_parts: list[str] = prev["stats"].get("sites_parts", [])
         if cfg.dim_tables:
+            # sites grows with the crawl (≈ fetched pages), so its
+            # insert check gets the seen treatment: a bucketed
+            # site_id key-state table per round, co-partitioned
+            # anti-join (zero exchange on the state side), compacted
+            # on the seen cadence. The sink rows themselves stay
+            # per-round new-keys-only parquet (glob-queryable).
+            # domains/content_types are small dims — glob read is fine.
+            from .state import SITES_KEYS_DDL
+
+            sites_parts = list(new_sites_parts)
+            sites_new = ok.select(
+                "site_id", F.col("url_norm").alias("url")
+            ).dropDuplicates(["site_id"])
+            if sites_parts:
+                key_dfs = [
+                    self.state.read_bucketed(
+                        self.spark, p, SITES_KEYS_DDL, n_buckets,
+                        bucket_col="site_id",
+                    )
+                    for p in sites_parts
+                ]
+                sites_new = ops.anti_join_parts(sites_new, key_dfs, key="site_id")
+            else:
+                key_dfs = []
+            pending.append((sites_new, "sites"))
+            if r % cfg.compact_seen_every == 0:
+                merged_keys = sites_new.select("site_id")
+                for kd in key_dfs:
+                    merged_keys = merged_keys.unionByName(kd)
+                pending.append((merged_keys, "sites_keys"))
+                new_sites_parts = [f"r{r:05d}/sites_keys"]
+            else:
+                pending.append((sites_new.select("site_id"), "sites_keys"))
+                new_sites_parts = sites_parts + [f"r{r:05d}/sites_keys"]
+
             dims = [
-                (
-                    "sites",
-                    schemas.SITES,
-                    "site_id",
-                    ok.select("site_id", F.col("url_norm").alias("url")),
-                ),
                 (
                     "domains",
                     schemas.DOMAINS,
@@ -412,7 +509,9 @@ class CrawlEngine:
             if r > 1 and self.state.sink_exists("content_blobs"):
                 existing = self.spark.read.schema(schemas.CONTENT_BLOBS).parquet(blob_glob)
                 winners = winners.join(existing.select("sha1"), "sha1", "left_anti")
-            if n_batch <= cfg.fetch_broadcast_rows:
+            # winner rows (sha1 + url) are the same scale as the batch;
+            # reuse its byte estimate for the broadcast decision
+            if broadcast_batch:
                 winners = F.broadcast(winners)
             # join the winner URLS back against the fat cache: sha1
             # comes from the (skinny) winner side — the bodies are
@@ -482,6 +581,25 @@ class CrawlEngine:
                 )
                 pending.append((faces, "faces"))
 
+        # ---- robots self-ingestion (north_rule): parse rules out of
+        # robots.txt bodies fetched THIS round; they are sunk for the
+        # next rounds AND applied to this round's own candidates below
+        # (a newly discovered host's robots is prefetched at
+        # PRIORITY_ROBOTS, so its rules usually land with or before
+        # the host's first content pages).
+        round_robots = None
+        if cfg.fetch_robots_txt:
+            from ..functions.robots import robots_rules as parse_robots
+
+            robots_bodies = gated.filter(
+                (F.col("gate") == "ok")
+                & (F.expr("parse_url(url_norm, 'PATH')") == "/robots.txt")
+            ).select("host", "html")
+            round_robots = parse_robots(
+                robots_bodies, host_col="host", body_col="html", round_col=r
+            ).persist(_CACHE)
+            pending.append((round_robots, "robots"))
+
         # ---- P5/P6 + U1: link extraction (flat: one row per keyword,
         # all-scalar Arrow transfer; links/keywords are shuffle-free
         # filters of the same persisted frame). The P5 html-sniff gate
@@ -545,8 +663,44 @@ class CrawlEngine:
             .withColumn("host", F.expr("parse_url(url_norm, 'HOST')"))
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
-        if self.robots is not None:
-            cands = ops.robots_filter(cands, self.robots)
+        robots_eff = robots_rules_df
+        if round_robots is not None:
+            fresh = round_robots.withColumn("_src", F.lit(1))
+            robots_eff = self._latest_per_host(
+                fresh
+                if robots_eff is None
+                else robots_eff.withColumn("_src", F.lit(0)).unionByName(fresh)
+            )
+        if robots_eff is not None:
+            cands = ops.robots_filter(cands, robots_eff)
+        if cfg.fetch_robots_txt:
+            # prefetch robots.txt for every host seen among candidates
+            # (added AFTER the filter — robots.txt itself is always
+            # fetchable per RFC 9309); the seen check dedups across
+            # rounds so each host's robots is fetched once.
+            rob_c = (
+                cands.groupBy("host")
+                .agg(
+                    F.max(F.expr("parse_url(url_norm, 'PROTOCOL')")).alias(
+                        "_scheme"
+                    ),
+                    F.min("depth").alias("depth"),
+                )
+                .filter(F.col("_scheme").isNotNull())
+                .select(
+                    F.concat(
+                        F.col("_scheme"),
+                        F.lit("://"),
+                        F.col("host"),
+                        F.lit("/robots.txt"),
+                    ).alias("url_norm"),
+                    F.lit(ops.PRIORITY_ROBOTS).alias("priority"),
+                    "depth",
+                    "host",
+                )
+                .withColumn("url_hash", F.xxhash64("url_norm"))
+            )
+            cands = cands.unionByName(rob_c)
 
         probed = None
         if cfg.bloom_prefilter and prev["stats"].get("bloom"):
@@ -628,7 +782,13 @@ class CrawlEngine:
 
         if cfg.lineage_metrics:
             lineage = self._lineage(
-                {"batch": batch, "fetched_ok": ok, "links": rated, "new_seen": new}, r
+                {
+                    "batch": (batch, F.length("url_norm")),
+                    "fetched_ok": (ok, F.col("size")),
+                    "links": (rated, F.length("dest_url")),
+                    "new_seen": (new, F.length("url_norm")),
+                },
+                r,
             )
             pending.append((lineage, "metrics"))
 
@@ -647,7 +807,11 @@ class CrawlEngine:
 
         def _flush(t):
             df, name = t
-            if name in bucketed_names:
+            if name == "sites_keys":
+                self.state.write_bucketed(
+                    df, r, name, cfg.n_buckets, bucket_col="site_id"
+                )
+            elif name in bucketed_names:
                 self.state.write_bucketed(df, r, name, cfg.n_buckets)
             else:
                 self._write(df, r, name)
@@ -676,7 +840,11 @@ class CrawlEngine:
         stats = {
             "frontier_parts": new_frontier_parts,
             "drained_parts": new_drained_parts,
+            "sites_parts": new_sites_parts,
             "seen_parts": new_seen_parts,
+            # rules-table snapshot pointer: robots rules fetched this
+            # round (the cross-round view is the union of these sinks)
+            "robots": f"r{r:05d}/robots" if round_robots is not None else None,
             "bloom": bloom_rel,
             "pages_fetched": pages_fetched,
             "links_found": links_found,
@@ -706,7 +874,7 @@ class CrawlEngine:
                 self.state.gc_state(r, keep_rounds=1, spark=self.spark)
             )
 
-        unpersist = [batch, meta, flat, rated, new, hashed, probed]
+        unpersist = [batch, meta, flat, rated, new, hashed, probed, round_robots]
         if cfg.cache_fat:
             unpersist.append(gated)
         for df in unpersist:

@@ -54,6 +54,7 @@ class CrawlState:
         "sites",
         "domains",
         "content_types",
+        "robots",
     )
 
     def __init__(self, root: str):

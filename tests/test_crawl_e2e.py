@@ -248,6 +248,19 @@ def test_lineage_metrics_written(spark, run_pair):
     m = _read_sink(spark, state_dir, "metrics", schemas.METRICS)
     stages = {r["stage"] for r in m.select("stage").distinct().collect()}
     assert {"batch", "fetched_ok", "links", "new_seen"} <= stages
+    # per-partition BYTES are filled (north_rule lineage, not rows-only)
+    agg = {
+        r["stage"]: (r["b"], r["nulls"])
+        for r in m.groupBy("stage")
+        .agg(
+            F.sum("bytes").alias("b"),
+            F.sum(F.when(F.col("bytes").isNull(), 1).otherwise(0)).alias("nulls"),
+        )
+        .collect()
+    }
+    for stage in ("batch", "fetched_ok", "links", "new_seen"):
+        assert agg[stage][1] == 0, f"{stage} has NULL bytes"
+    assert agg["fetched_ok"][0] > 0  # real payload sizes summed
 
 
 def test_resume_identical_to_uninterrupted(spark, corpus, corpus_dir, tmp_path_factory):

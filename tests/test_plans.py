@@ -217,3 +217,68 @@ def test_extraction_is_single_python_stage(spark):
     p = plan_of(links, mode="simple")
     assert p.count("MapInPandas") + p.count("PythonMapInArrow") == 1
     assert "ArrowEvalPython" not in p  # no chained scalar-UDF stage
+
+
+def test_bucketed_sites_keys_anti_join_copartitioned(spark, tmp_path):
+    """The sites dim insert check at scale: site_id key-state parts
+    are bucketed tables (like seen), so the growing state side has NO
+    Exchange and the per-round new-keys side exchanges exactly once
+    across the chain (the old glob read anti-joined the whole
+    unbucketed sink history every round)."""
+    from notjusthtml_searchengine_spark.operators.crawl_ops import anti_join_parts
+    from notjusthtml_searchengine_spark.plans.state import SITES_KEYS_DDL, CrawlState
+
+    state = CrawlState(str(tmp_path))
+    mk = lambda lo, hi: (
+        spark.range(lo, hi)
+        .select(F.xxhash64(F.col("id").cast("string")).alias("site_id"))
+    )
+    rels = [
+        state.write_bucketed(mk(0, 2000), 1, "sites_keys", 8, bucket_col="site_id"),
+        state.write_bucketed(mk(2000, 3000), 2, "sites_keys", 8, bucket_col="site_id"),
+    ]
+    parts = [
+        state.read_bucketed(spark, rel, SITES_KEYS_DDL, 8, bucket_col="site_id")
+        for rel in rels
+    ]
+    new = (
+        spark.range(2500, 4000)
+        .select(
+            F.xxhash64(F.col("id").cast("string")).alias("site_id"),
+            F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url"),
+        )
+    )
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        out = anti_join_parts(new, parts, key="site_id")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1, plan  # new-keys side only
+        assert "Bucketed: true" in plan
+        assert plan.count("LeftAnti") == 2
+        assert "BroadcastExchange" not in plan
+        assert out.count() == 1000  # ids 3000..3999 are genuinely new
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_batch_stats_byte_estimate(spark, tmp_path):
+    """Broadcast decisions are BYTE-based: _batch_stats measures
+    url+host chars + fixed per-row overhead in one job, and the
+    engine broadcasts only under CrawlConfig.broadcast_max_bytes."""
+    from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
+
+    eng = object.__new__(CrawlEngine)  # no crawl needed — method only
+    eng.cfg = CrawlConfig(state_dir=str(tmp_path), broadcast_row_overhead=48)
+    batch = spark.createDataFrame(
+        [("u" * 10, "h" * 5), ("u" * 20, None)], "url_norm string, host string"
+    )
+    n, est = CrawlEngine._batch_stats(eng, batch)
+    assert n == 2
+    assert est == (10 + 5) + 20 + 48 * 2
+    # decision flips with the configured cap
+    assert est <= CrawlConfig(state_dir=".").broadcast_max_bytes
+    assert est > CrawlConfig(state_dir=".", broadcast_max_bytes=10).broadcast_max_bytes

@@ -92,6 +92,13 @@ def test_state_cap_bounds_memory_without_data_loss(spark, tmp_path):
     _drop(in_dir / "d0.parquet", [a, b, c])
     _drop(in_dir / "d1.parquet", [a, d, e, d])
     _drop(in_dir / "d2.parquet", [b, d])
+    # micro-batch order follows file mtime; same-millisecond writes
+    # can reorder — pin it
+    import os as _os
+
+    for i, name in enumerate(("d0.parquet", "d1.parquet", "d2.parquet")):
+        t = 1700000000 + i * 60
+        _os.utime(in_dir / name, (t, t))
     pages = (
         spark.readStream.schema(schemas.PAGES)
         .option("maxFilesPerTrigger", 1)
