@@ -1171,6 +1171,125 @@ def q_faces_detect(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # driver API
 # ---------------------------------------------------------------------------
+def q_ann_recall(spark, sf_dir):
+    """Recall@5 of the LSH and IVF approximate indexes vs the exact
+    brute-force ranking over the same corpus — pure composition of the
+    three ANN driver queries, so the quality of the approximate paths
+    is itself an oracle-checked number (not just a unit-test floor)."""
+    brute = q_ann_brute_topk(spark, sf_dir).select("qid", "neighbor_id")
+    approx = (
+        q_ann_lsh_topk(spark, sf_dir)
+        .select("qid", "neighbor_id")
+        .withColumn("method", F.lit("lsh"))
+        .unionByName(
+            q_ann_ivf_topk(spark, sf_dir)
+            .select("qid", "neighbor_id")
+            .withColumn("method", F.lit("ivf"))
+        )
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    univ = brute.crossJoin(methods)  # 15 brute rows × 2 methods
+    hits = (
+        univ.join(approx, ["method", "qid", "neighbor_id"], "left_semi")
+        .groupBy("method", "qid")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    tot = univ.groupBy("method", "qid").agg(F.count(F.lit(1)).alias("total"))
+    return tot.join(hits, ["method", "qid"], "left").select(
+        "method",
+        "qid",
+        F.round(
+            F.coalesce(F.col("hits"), F.lit(0)) / F.col("total"), 4
+        ).alias("recall_at_k"),
+    )
+
+
+SQL_ANN_RECALL = f"""
+WITH brute AS (SELECT qid, neighbor_id FROM ({SQL_ANN_BRUTE})),
+lshq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_LSH})),
+ivfq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_IVF})),
+approx AS (SELECT 'lsh' AS method, qid, neighbor_id FROM lshq
+           UNION ALL SELECT 'ivf', qid, neighbor_id FROM ivfq),
+univ AS (SELECT m.method, b.qid, b.neighbor_id FROM brute b
+         CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m),
+h AS (SELECT u.method, u.qid,
+             CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM univ u LEFT JOIN approx a USING (method, qid, neighbor_id))
+SELECT method, qid, round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS recall_at_k
+FROM h GROUP BY method, qid
+"""
+
+
+def q_content_sniff_magic(spark, sf_dir):
+    """U4 restricted oracle: magic-byte sniffing over bodies built
+    from the documents table (binary signature prefixes + real text
+    tails). DuckDB re-decides each type INDEPENDENTLY via a CASE over
+    the hex prefix of the same blobs — a genuine second implementation
+    of the sniff decision for these branches (PNG/JPEG/GIF/PDF magic,
+    html tag, plain-text fallback). The full sniffer (BOM masking,
+    RIFF, binary-byte scan) stays covered by tests/test_sniff.py."""
+    from notjusthtml_searchengine_spark.functions.sniff import sniff_col
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    m = F.col("doc_id") % 6
+    prefix = (
+        F.when(m == 0, F.lit(bytes.fromhex("89504E470D0A1A0A")))
+        .when(m == 1, F.lit(b"\xff\xd8\xff"))
+        .when(m == 2, F.lit(b"GIF89a"))
+        .when(m == 3, F.lit(b"%PDF-"))
+        .when(m == 4, F.lit(b"<!DOCTYPE HTML>"))
+        .otherwise(F.lit(b"plain: "))
+    )
+    return (
+        docs.withColumn(
+            "body", F.concat(prefix, F.encode(F.substring("text", 1, 40), "utf-8"))
+        )
+        .withColumn("content_type", sniff_col("body"))
+        .select("doc_id", "content_type")
+    )
+
+
+SQL_SNIFF_MAGIC = """
+WITH d AS (
+  SELECT doc_id,
+    (CASE doc_id % 6
+       WHEN 0 THEN unhex('89504E470D0A1A0A')
+       WHEN 1 THEN unhex('FFD8FF')
+       WHEN 2 THEN encode('GIF89a')
+       WHEN 3 THEN encode('%PDF-')
+       WHEN 4 THEN encode('<!DOCTYPE HTML>')
+       ELSE encode('plain: ') END) || encode(substr(text, 1, 40)) AS body
+  FROM documents)
+SELECT doc_id,
+  CASE
+    WHEN substr(hex(body), 1, 30) = hex(encode('<!DOCTYPE HTML>'))
+      THEN 'text/html; charset=utf-8'
+    WHEN substr(hex(body), 1, 16) = '89504E470D0A1A0A' THEN 'image/png'
+    WHEN substr(hex(body), 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+    WHEN substr(hex(body), 1, 12) = hex(encode('GIF89a')) THEN 'image/gif'
+    WHEN substr(hex(body), 1, 10) = hex(encode('%PDF-')) THEN 'application/pdf'
+    ELSE 'text/plain; charset=utf-8'
+  END AS content_type
+FROM d
+"""
+
+
+# Restricted oracle for the existing url_canonicalize query: on its
+# deterministic generated family the expected round-trip output is
+# SQL-expressible — scheme lowercased, HOST CASE PRESERVED (Go
+# url.Parse semantics, functions/urlnorm.py), path/query/fragment
+# passed through. A host-lowercasing or fragment-dropping regression
+# in the kernel hash-mismatches here.
+SQL_URL_CANON = """
+SELECT doc_id,
+  'http://Host' || CAST(doc_id % 9 AS VARCHAR) || '.Example/p/'
+    || CAST(doc_id AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '?q=1#frag' ELSE '' END AS url_norm,
+  'Host' || CAST(doc_id % 9 AS VARCHAR) || '.Example' AS host
+FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the reference's link-rating computation (J5+A1) as a
     broadcast containment theta-join + aggregation at sf0.001."""
@@ -1205,6 +1324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1216,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
         "content_sniff": q_content_sniff,
+        "content_sniff_magic": q_content_sniff_magic,
         "url_canonicalize": q_url_canonicalize,
         "dim_lookup_join": q_dim_lookup_join,
         # multimodal plumbing (binary payloads; decode stubbed where
@@ -1258,6 +1379,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_brute_topk": SQL_ANN_BRUTE,
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_recall": SQL_ANN_RECALL,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
@@ -1265,4 +1387,6 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": SQL_TOKEN_BPE,
         "doc_fingerprint": SQL_FINGERPRINT,
         "doc_winnow_fingerprint": SQL_WINNOW,
+        "content_sniff_magic": SQL_SNIFF_MAGIC,
+        "url_canonicalize": SQL_URL_CANON,
     }
