@@ -619,10 +619,14 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=4, dim=64)
 
 
-def _sql_ann_lsh(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+def _sql_ann_lsh(
+    n_planes: int = 4, dim: int = 64, k: int = 5, n_probes: int = 1
+) -> str:
     """DuckDB mirror of lsh_topk: identical ±1 hyperplane components
     from the portable hash of 'p:j', identical sign-pattern bucket,
-    exact quantized cosine rank within the bucket."""
+    exact quantized cosine rank within the bucket(s). n_probes > 1
+    mirrors the deterministic multi-probe expansion (bucket plus its
+    Hamming-1 neighbors in plane order)."""
 
     def comps(p: int) -> str:
         return (
@@ -635,16 +639,28 @@ def _sql_ann_lsh(n_planes: int = 4, dim: int = 64, k: int = 5) -> str:
         f"(CASE WHEN list_dot_product(vq, {comps(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
         for p in range(n_planes)
     )
+    probe_items = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)]
+    )
+    probes = (
+        "q"
+        if n_probes == 1
+        else (
+            f"(SELECT qid, qq, unnest(list_slice([{probe_items}], 1, {n_probes})) AS bucket "
+            f"FROM q)"
+        )
+    )
     return f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS vq
            FROM embeddings),
 b AS (SELECT vec_id, vq, {bucket} AS bucket FROM e),
 q AS (SELECT vec_id AS qid, vq AS qq, bucket FROM b WHERE vec_id < 3),
+p AS (SELECT qid, qq, bucket FROM {probes}),
 scored AS (
-  SELECT q.qid, b.vec_id,
-         round(list_dot_product(b.vq, q.qq) /
-               sqrt(list_dot_product(b.vq, b.vq) * list_dot_product(q.qq, q.qq)), 4) AS cosine
-  FROM b JOIN q USING (bucket) WHERE b.vec_id <> q.qid),
+  SELECT p.qid, b.vec_id,
+         round(list_dot_product(b.vq, p.qq) /
+               sqrt(list_dot_product(b.vq, b.vq) * list_dot_product(p.qq, p.qq)), 4) AS cosine
+  FROM b JOIN p USING (bucket) WHERE b.vec_id <> p.qid),
 r AS (SELECT qid, vec_id, cosine,
              row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
       FROM scored)
@@ -653,6 +669,20 @@ SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE
 
 
 SQL_ANN_LSH = _sql_ann_lsh()
+SQL_ANN_LSH_MP = _sql_ann_lsh(n_probes=3)
+
+
+def q_ann_lsh_multiprobe(spark, sf_dir):
+    """Multi-probe LSH ANN (n_probes=3 of 16 buckets): the recall/cost
+    dial on top of the single-probe index — deterministic Hamming-1
+    probe expansion, still fully oracle-checked."""
+    from notjusthtml_searchengine_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, queries, k=5, n_planes=4, dim=64, n_probes=3)
 
 
 def q_ann_ivf_topk(spark, sf_dir):
@@ -1182,12 +1212,19 @@ def q_ann_recall(spark, sf_dir):
         .select("qid", "neighbor_id")
         .withColumn("method", F.lit("lsh"))
         .unionByName(
+            q_ann_lsh_multiprobe(spark, sf_dir)
+            .select("qid", "neighbor_id")
+            .withColumn("method", F.lit("lsh_mp"))
+        )
+        .unionByName(
             q_ann_ivf_topk(spark, sf_dir)
             .select("qid", "neighbor_id")
             .withColumn("method", F.lit("ivf"))
         )
     )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], "method string")
+    methods = spark.createDataFrame(
+        [("lsh",), ("lsh_mp",), ("ivf",)], "method string"
+    )
     univ = brute.crossJoin(methods)  # 15 brute rows × 2 methods
     hits = (
         univ.join(approx, ["method", "qid", "neighbor_id"], "left_semi")
@@ -1207,11 +1244,14 @@ def q_ann_recall(spark, sf_dir):
 SQL_ANN_RECALL = f"""
 WITH brute AS (SELECT qid, neighbor_id FROM ({SQL_ANN_BRUTE})),
 lshq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_LSH})),
+lshmpq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_LSH_MP})),
 ivfq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_IVF})),
 approx AS (SELECT 'lsh' AS method, qid, neighbor_id FROM lshq
+           UNION ALL SELECT 'lsh_mp', qid, neighbor_id FROM lshmpq
            UNION ALL SELECT 'ivf', qid, neighbor_id FROM ivfq),
 univ AS (SELECT m.method, b.qid, b.neighbor_id FROM brute b
-         CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'ivf') m),
+         CROSS JOIN (SELECT 'lsh' AS method UNION ALL SELECT 'lsh_mp'
+                     UNION ALL SELECT 'ivf') m),
 h AS (SELECT u.method, u.qid,
              CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
       FROM univ u LEFT JOIN approx a USING (method, qid, neighbor_id))
@@ -1323,6 +1363,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
         "embedding_neardup": q_embedding_neardup,
@@ -1378,6 +1419,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": SQL_SIMHASH,
         "ann_brute_topk": SQL_ANN_BRUTE,
         "ann_lsh_topk": SQL_ANN_LSH,
+        "ann_lsh_multiprobe": SQL_ANN_LSH_MP,
         "ann_ivf_topk": SQL_ANN_IVF,
         "ann_recall": SQL_ANN_RECALL,
         "embedding_neardup": SQL_EMB_NEARDUP,

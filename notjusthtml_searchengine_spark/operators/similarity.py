@@ -116,19 +116,44 @@ def lsh_topk(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's
     hyperplane-sign bucket, then exact cosine rank within it.
+
+    ``n_probes`` > 1 enables MULTI-PROBE LSH: each query additionally
+    probes the buckets at Hamming distance 1 from its own (one sign
+    bit flipped), in fixed plane order 0..n_planes-1 — deterministic,
+    so the widened search stays oracle-checkable. Single-probe recall
+    at small bucket counts is low by construction (a 4-plane index has
+    16 buckets; the top-k rarely all share one); n_probes=p scans
+    ~p/2^n_planes of the corpus per query and recall rises
+    accordingly — the standard recall/cost dial (Lv et al., VLDB'07).
 
     ``dim`` must be passed explicitly: inferring it would require a
     driver-side action during operator *construction* (a hidden job
     and a scheduling barrier inside plan building)."""
     if dim is None:
         raise ValueError("lsh_topk requires an explicit embedding dim")
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError("n_probes must be in [1, n_planes+1]")
     e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
     e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
     q = queries.select("qid", quantized(F.col("qvec")).alias("qq"))
     q = q.withColumn("bucket", hyperplane_signs(F.col("qq"), n_planes, dim))
+    if n_probes > 1:
+        probe_list = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+                for p in range(n_planes)
+            ],
+        )
+        q = q.select(
+            "qid",
+            "qq",
+            F.explode(F.slice(probe_list, 1, n_probes)).alias("bucket"),
+        )
     scored = e.join(F.broadcast(q), "bucket").filter(
         F.col(id_col) != F.col("qid")
     ).withColumn("cosine", cosine_q(F.col("vq"), F.col("qq")))

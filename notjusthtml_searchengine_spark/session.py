@@ -31,6 +31,13 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.parquet.columnarReaderBatchSize": "512",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
+    # The round flush runs many sink-write JOBS concurrently; a
+    # broadcast future inside one of them can wait far longer than the
+    # 300 s default on a busy low-core scheduler (observed: local[2]
+    # at sf1 with 64 shuffle partitions aborted a sink write at
+    # exactly 300 s). Long-batch engines want a generous timeout —
+    # the broadcast itself is not the slow part, the queueing is.
+    "spark.sql.broadcastTimeout": "3600",
     # bucketed state tables are EXTERNAL (option("path")); the
     # warehouse dir only hosts catalog scratch — keep it out of cwd
     "spark.sql.warehouse.dir": os.environ.get(

@@ -134,9 +134,24 @@ def test_ann_recall_query_floor(spark):
     by_method: dict[str, list[float]] = {}
     for r in rows:
         by_method.setdefault(r["method"], []).append(r["recall_at_k"])
-    assert set(by_method) == {"lsh", "ivf"}
-    assert len(by_method["lsh"]) == 3 and len(by_method["ivf"]) == 3
+    assert set(by_method) == {"lsh", "lsh_mp", "ivf"}
+    assert all(len(v) == 3 for v in by_method.values())
     mean = lambda xs: sum(xs) / len(xs)
     assert mean(by_method["ivf"]) >= 0.5, by_method
     assert mean(by_method["lsh"]) >= 0.05, by_method
+    # the multi-probe dial buys recall: 3/16 buckets probed vs 1/16
+    assert mean(by_method["lsh_mp"]) >= mean(by_method["lsh"]), by_method
+    assert mean(by_method["lsh_mp"]) >= 0.15, by_method
     assert all(0.0 <= x <= 1.0 for xs in by_method.values() for x in xs)
+
+
+def test_lsh_multiprobe_validation(spark, emb):
+    from notjusthtml_searchengine_spark.operators.similarity import lsh_topk
+
+    q = emb.limit(1).selectExpr("vec_id AS qid", "embedding AS qvec")
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        lsh_topk(emb, q, dim=64, n_planes=4, n_probes=6)  # > n_planes+1
+    with _pt.raises(ValueError):
+        lsh_topk(emb, q, dim=64, n_planes=4, n_probes=0)
