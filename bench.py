@@ -148,6 +148,11 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
         # is CPU (scales with cores); cache traffic is memory bandwidth
         # (does not)
         cache_fat=os.environ.get("SPARK_GRAFT_BENCH_CACHE_FAT", "0") == "1",
+        # A/B hook for the data-proportional shuffle sizing (default on)
+        auto_shuffle_partitions=os.environ.get(
+            "SPARK_GRAFT_BENCH_AUTO_SHUFFLE", "1"
+        )
+        == "1",
     )
     eng = CrawlEngine(
         spark,

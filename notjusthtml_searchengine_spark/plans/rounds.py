@@ -85,6 +85,23 @@ class CrawlConfig:
     # estimated per-row overhead beyond measured string chars (hash,
     # ints, arrow/unsafe-row framing)
     broadcast_row_overhead: int = 48
+    # Data-proportional shuffle sizing (measured at sf1: 8 shuffle
+    # partitions over a 494k-page round = ~1.5 GB partitions; since
+    # execution memory is shared across CONCURRENT tasks the
+    # high-thread run spills first and N→4N efficiency collapsed to
+    # 0.685 — resizing to volume restored 0.962, see
+    # BENCH/bench_sf1_rehearsal.json). Each round predicts its volume
+    # (expected batch × measured avg page bytes × a row-expansion
+    # factor for the flat link/keyword explosion) and sets
+    # spark.sql.shuffle.partitions to keep partitions near
+    # target_partition_bytes. AQE coalescing makes over-partitioning
+    # cheap on clusters; this keeps AQE-off deployments safe too.
+    auto_shuffle_partitions: bool = True
+    target_partition_bytes: int = 128 << 20
+    shuffle_row_expansion: int = 3
+    max_shuffle_partitions: int = 4096
+    # round-1 fallback before any measured page sizes exist
+    est_page_bytes: int = 8192
     # Cache the fat (html) fetch result between branches. True trades
     # memory bandwidth (serialize once + deserialize per consumer) for
     # fewer scans; False re-derives each fat branch from the compressed
@@ -189,6 +206,28 @@ class CrawlEngine:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _size_shuffle(self, pred_batch: int, avg_page_bytes: float) -> int | None:
+        """Set spark.sql.shuffle.partitions for this round from the
+        predicted data volume. Returns the setting (None = left as-is).
+        Never shrinks below the scheduler's parallelism; capped by
+        max_shuffle_partitions."""
+        cfg = self.cfg
+        if not cfg.auto_shuffle_partitions or pred_batch <= 0:
+            return None
+        import math
+
+        est = pred_batch * max(avg_page_bytes, 1.0) * cfg.shuffle_row_expansion
+        base = self.spark.sparkContext.defaultParallelism
+        parts = max(
+            base,
+            min(
+                cfg.max_shuffle_partitions,
+                math.ceil(est / cfg.target_partition_bytes),
+            ),
+        )
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        return parts
 
     @staticmethod
     def _latest_per_host(rules: DataFrame) -> DataFrame:
@@ -319,6 +358,16 @@ class CrawlEngine:
         seen_parts: list[str] = prev["stats"]["seen_parts"]
         seen_dfs = self._seen_parts(seen_parts, n_buckets)
 
+        # data-proportional shuffle sizing: predict this round's batch
+        # from the previous round's frontier additions (exact n_batch
+        # refines it right after the drain; under-prediction here only
+        # affects the drain's own window shuffle)
+        prev_avg_bytes = float(prev["stats"].get("avg_page_bytes", cfg.est_page_bytes))
+        pred_batch = int(prev["stats"].get("new_frontier", 0) or 0)
+        if cfg.round_budget is not None:
+            pred_batch = min(pred_batch, cfg.round_budget)
+        shuffle_parts = self._size_shuffle(pred_batch, prev_avg_bytes)
+
         # ---- W1/W2: drain --------------------------------------------
         robots_rules_df = self._robots_view()
         host_caps = None
@@ -329,6 +378,9 @@ class CrawlEngine:
         ).persist(_CACHE)
         n_batch, batch_bytes = self._batch_stats(batch)
         broadcast_batch = batch_bytes <= cfg.broadcast_max_bytes
+        resized = self._size_shuffle(n_batch, prev_avg_bytes)
+        if resized is not None:
+            shuffle_parts = resized
         if n_batch == 0:
             batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
@@ -822,15 +874,22 @@ class CrawlEngine:
         # Round counters: ONE post-flush aggregation job over the (now
         # materialized) cached frames — replaces the four standalone
         # count jobs the round used to run before flushing.
+        zero = F.lit(0).cast("long").alias("v")
         tagged = (
-            ok.select(F.lit("ok").alias("k"))
-            .unionByName(rated.select(F.lit("links").alias("k")))
+            ok.select(F.lit("ok").alias("k"), F.col("size").cast("long").alias("v"))
+            .unionByName(rated.select(F.lit("links").alias("k"), zero))
             .unionByName(
-                new.filter(F.col("priority") > 0).select(F.lit("frontier").alias("k"))
+                new.filter(F.col("priority") > 0).select(
+                    F.lit("frontier").alias("k"), zero
+                )
             )
-            .unionByName(errors.select(F.lit("errors").alias("k")))
+            .unionByName(errors.select(F.lit("errors").alias("k"), zero))
         )
-        got = {row["k"]: row["count"] for row in tagged.groupBy("k").count().collect()}
+        agg_rows = tagged.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
+        ).collect()
+        got = {row["k"]: row["n"] for row in agg_rows}
+        bytes_ok = next((int(r["v"] or 0) for r in agg_rows if r["k"] == "ok"), 0)
         pages_fetched = int(got.get("ok", 0))
         links_found = int(got.get("links", 0))
         n_new_frontier = int(got.get("frontier", 0))
@@ -853,6 +912,11 @@ class CrawlEngine:
             "batch": n_batch,
             "wall_ms": wall_ms,
             "n_buckets": cfg.n_buckets,
+            # feedback for next round's data-proportional shuffle sizing
+            "avg_page_bytes": round(bytes_ok / pages_fetched, 1)
+            if pages_fetched
+            else float(cfg.est_page_bytes),
+            "shuffle_partitions": shuffle_parts,
         }
         round_stats = self.spark.createDataFrame(
             [
