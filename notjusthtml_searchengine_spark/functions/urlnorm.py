@@ -19,20 +19,80 @@ Semantics reproduced from Go's net/url serializer:
 
 from __future__ import annotations
 
-from urllib.parse import urljoin, urlsplit, urlunsplit
+import string
+from urllib.parse import (
+    quote_from_bytes,
+    unquote_to_bytes,
+    urljoin,
+    urlsplit,
+    urlunsplit,
+)
 
 import pandas as pd
 
+# Go net/url escaping tables (url.go shouldEscape/validEncoded).
+# Raw-keep set: characters validEncoded allows verbatim in an already-
+# encoded component; anything outside forces a re-escape of the DECODED
+# component with the mode's escape-safe set (so Go's String() turns
+# "/a b" into "/a%20b" but keeps "/a%20b" byte-identical).
+_UNRESERVED = set(string.ascii_letters + string.digits + "-_.~")
+_PATH_RAW = _UNRESERVED | set("!$&'()*+,;=:@[]%/")
+_FRAG_RAW = _PATH_RAW | set("?")
+_PATH_SAFE = "$&+,/:;=@"  # encodePath: '?' escapes, these stay
+_FRAG_SAFE = "$&+,/:;=?@!()*"  # encodeFragment
+_HEX = set("0123456789abcdefABCDEF")
+# Go parseHost rejects these outright (url.Parse returns an error, the
+# reference drops the link): C0 controls, space, and the RFC 3986
+# non-host delimiters it checks for.
+_BAD_HOST = set(' <>"{}|\\^`') | {chr(c) for c in range(0x21)}
+
+
+def _valid_escapes(s: str) -> bool:
+    """False iff a '%' is not followed by two hex digits (Go unescape
+    error => url.Parse error)."""
+    i = s.find("%")
+    while i != -1:
+        if len(s) < i + 3 or s[i + 1] not in _HEX or s[i + 2] not in _HEX:
+            return False
+        i = s.find("%", i + 1)
+    return True
+
+
+def _go_component(raw: str, raw_set: set, safe: str) -> str | None:
+    """Go's parse+EscapedPath() round-trip for one component: error on
+    invalid %-escapes; keep a validly-encoded component verbatim; else
+    percent-encode the decoded form with the mode's safe set."""
+    if not _valid_escapes(raw):
+        return None
+    if all(c in raw_set for c in raw):
+        return raw
+    # bytes round-trip (Go operates on bytes): %FF stays %FF rather
+    # than becoming a UTF-8 replacement character
+    return quote_from_bytes(unquote_to_bytes(raw), safe=safe)
+
 
 def canonicalize(raw: str) -> str | None:
-    """Parse + re-serialize one URL; None on unparseable input."""
+    """Parse + re-serialize one URL; None on unparseable input.
+
+    Faithful to Go's url.Parse→String() round-trip: the scheme is
+    lowercased; the path and fragment are re-serialized through Go's
+    EscapedPath()/EscapedFragment() rules (a raw space becomes %20, an
+    already-encoded component is kept byte-identical); the query is
+    written verbatim (Go String() emits RawQuery untouched); invalid
+    %-escapes in path/fragment and invalid host characters are parse
+    ERRORS in Go — the link is dropped (None)."""
     try:
         parts = urlsplit(raw)
     except ValueError:
         return None
-    # Go lowercases the scheme during parse; everything else is kept.
+    if any(c in _BAD_HOST for c in parts.netloc):
+        return None
+    path = _go_component(parts.path, _PATH_RAW, _PATH_SAFE)
+    frag = _go_component(parts.fragment, _FRAG_RAW, _FRAG_SAFE)
+    if path is None or frag is None:
+        return None
     return urlunsplit(
-        (parts.scheme.lower(), parts.netloc, parts.path, parts.query, parts.fragment)
+        (parts.scheme.lower(), parts.netloc, path, parts.query, frag)
     )
 
 
@@ -63,6 +123,44 @@ def host_of(raw: str) -> str:
         end = netloc.find("]")
         return netloc[1:end] if end > 0 else netloc[1:]
     return netloc.split(":", 1)[0]
+
+
+# ---- JVM-side (codegen) URL component expressions ---------------------
+# Spark's parse_url THROWS [INVALID_URL] on java.net.URI-invalid input
+# (a literal space anywhere kills the whole stage — one bad href on one
+# page aborts a 10^7-page round). These regexp forms never throw, stay
+# inside whole-stage codegen, and agree with the Python helpers above
+# (host_expr == host_of for every URL, including invalid ones) so
+# politeness/robots keys are identical across both paths.
+
+
+def host_expr(col):
+    """Go url.Hostname() as a codegen expression: netloc after
+    userinfo, port stripped, IPv6 brackets stripped; '' when absent."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    netloc = F.regexp_extract(c, r"^[^:/?#]+://([^/?#]*)", 1)
+    nouser = F.regexp_replace(netloc, r"^[^/?#]*@", "")
+    return F.when(
+        nouser.startswith("["), F.regexp_extract(nouser, r"^\[([^\]]*)", 1)
+    ).otherwise(F.regexp_extract(nouser, r"^([^:]*)", 1))
+
+
+def path_expr(col):
+    """URL path component ('' when absent), never throws."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^(?:[^:/?#]+://[^/?#]*)?([^?#]*)", 1)
+
+
+def protocol_expr(col):
+    """URL scheme ('' when absent), never throws."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract(c, r"^([^:/?#]+)://", 1)
 
 
 # ---- vectorized (pandas Series) forms used inside Arrow UDFs ----------

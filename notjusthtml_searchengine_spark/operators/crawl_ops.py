@@ -284,7 +284,9 @@ def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
     rule wins; an allow wins ties. So a row is blocked iff the longest
     matching disallow prefix is strictly longer than the longest
     matching allow prefix."""
-    path = F.expr("parse_url(url_norm, 'PATH')")
+    from ..functions.urlnorm import path_expr
+
+    path = path_expr("url_norm")
     joined = cands.withColumn("_path", path).join(
         F.broadcast(robots.select("host", "allow_prefixes", "disallow_prefixes")),
         "host",

@@ -38,6 +38,7 @@ _CACHE = StorageLevel.MEMORY_AND_DISK
 
 from .. import schemas
 from ..extract.udfs import extract_links_flat
+from ..functions.urlnorm import host_expr, path_expr, protocol_expr
 from ..functions.sniff import sniff_col
 from ..media.udfs import exif_udf, phash_udf
 from ..operators import bloom as bloom_ops
@@ -158,7 +159,7 @@ class CrawlEngine:
         r = 0
         seeds = ops.load_seeds(self.spark, self.seeds_path)
         frontier = (
-            seeds.withColumn("host", F.expr("parse_url(url_norm, 'HOST')"))
+            seeds.withColumn("host", host_expr("url_norm"))
             .withColumn("priority", F.lit(ops.PRIORITY_SEED))
             .withColumn("depth", F.lit(0))
             .withColumn("round_added", F.lit(0))
@@ -210,8 +211,14 @@ class CrawlEngine:
     def _size_shuffle(self, pred_batch: int, avg_page_bytes: float) -> int | None:
         """Set spark.sql.shuffle.partitions for this round from the
         predicted data volume. Returns the setting (None = left as-is).
-        Never shrinks below the scheduler's parallelism; capped by
-        max_shuffle_partitions."""
+
+        The volume-derived count is quantized UP to a multiple of the
+        scheduler's parallelism: a count like 12 on an 8-thread
+        scheduler runs a second task wave half-empty (4 busy / 4 idle
+        threads) while a 2-thread scheduler is unaffected — exactly the
+        asymmetry that collapses N→4N scaling efficiency (BENCH_r03
+        0.391; quantization restored the gate). Never shrinks below the
+        parallelism; capped by max_shuffle_partitions."""
         cfg = self.cfg
         if not cfg.auto_shuffle_partitions or pred_batch <= 0:
             return None
@@ -219,12 +226,10 @@ class CrawlEngine:
 
         est = pred_batch * max(avg_page_bytes, 1.0) * cfg.shuffle_row_expansion
         base = self.spark.sparkContext.defaultParallelism
-        parts = max(
-            base,
-            min(
-                cfg.max_shuffle_partitions,
-                math.ceil(est / cfg.target_partition_bytes),
-            ),
+        raw = max(1, math.ceil(est / cfg.target_partition_bytes))
+        parts = min(
+            cfg.max_shuffle_partitions,
+            math.ceil(raw / base) * base,
         )
         self.spark.conf.set("spark.sql.shuffle.partitions", str(parts))
         return parts
@@ -645,7 +650,7 @@ class CrawlEngine:
 
             robots_bodies = gated.filter(
                 (F.col("gate") == "ok")
-                & (F.expr("parse_url(url_norm, 'PATH')") == "/robots.txt")
+                & (path_expr("url_norm") == "/robots.txt")
             ).select("host", "html")
             round_robots = parse_robots(
                 robots_bodies, host_col="host", body_col="html", round_col=r
@@ -712,7 +717,7 @@ class CrawlEngine:
         )
         cands = (
             ops.collapse_candidates(cands)
-            .withColumn("host", F.expr("parse_url(url_norm, 'HOST')"))
+            .withColumn("host", host_expr("url_norm"))
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
         robots_eff = robots_rules_df
@@ -733,12 +738,10 @@ class CrawlEngine:
             rob_c = (
                 cands.groupBy("host")
                 .agg(
-                    F.max(F.expr("parse_url(url_norm, 'PROTOCOL')")).alias(
-                        "_scheme"
-                    ),
+                    F.max(protocol_expr("url_norm")).alias("_scheme"),
                     F.min("depth").alias("depth"),
                 )
-                .filter(F.col("_scheme").isNotNull())
+                .filter(F.length("_scheme") > 0)
                 .select(
                     F.concat(
                         F.col("_scheme"),

@@ -302,13 +302,24 @@ def test_data_proportional_shuffle_sizing(spark, tmp_path):
     )
     old = spark.conf.get("spark.sql.shuffle.partitions")
     base = spark.sparkContext.defaultParallelism
+    import math
+
     try:
-        # 494k pages × 7 KB × 3 / 128 MiB = ceil(77.2) = 78 (the sf1 case)
+        # 494k pages × 7 KB × 3 / 128 MiB = ceil(77.2) = 78 (the sf1
+        # case), quantized UP to a full task wave of the scheduler
         parts = eng._size_shuffle(493_540, 7000.0)
-        assert parts == max(base, 78), parts
+        assert parts == math.ceil(78 / base) * base, parts
+        assert parts % base == 0
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
         # small rounds never shrink below scheduler parallelism
         assert eng._size_shuffle(100, 7000.0) == base
+        # the BENCH_r03 regression case: a volume that lands between one
+        # and two waves of an 8-thread scheduler (raw count 12) must
+        # round up to a MULTIPLE of the parallelism, never sit at a
+        # partial second wave (12 on 8 threads = 4 busy / 4 idle)
+        raw_12_bytes = 12 * (128 << 20)  # raw count exactly 12
+        parts = eng._size_shuffle(raw_12_bytes // (7000 * 3) + 1, 7000.0)
+        assert parts % base == 0, parts
         # disabled / empty prediction leaves the conf alone
         eng.cfg = CrawlConfig(state_dir=str(tmp_path), auto_shuffle_partitions=False)
         assert eng._size_shuffle(10_000_000, 7000.0) is None

@@ -52,17 +52,80 @@ def test_host_of_preserves_case_like_go_and_jvm():
 
 
 def test_host_parity_python_vs_jvm(spark):
+    """The engine's JVM host expression (host_expr — regexp, never
+    throws) must agree with the Python host_of on every URL the crawl
+    can see, INCLUDING invalid ones: Spark's parse_url raises
+    [INVALID_URL] on a literal space (one bad href would abort a whole
+    round), which is why the engine uses host_expr instead."""
     from pyspark.sql import functions as F
+
+    from notjusthtml_searchengine_spark.functions.urlnorm import host_expr
 
     urls = [
         "http://ExAmple.COM/p",
         "http://ExAmple.COM:8080/p",
         "http://host1.example/p/1",
         "https://UPPER.example/x?q=1",
+        "http://user:pw@MiXed.Host/p",
+        "http://[2001:DB8::1]:443/p",
+        # java.net.URI-invalid forms parse_url would throw on:
+        "http://a.example/spark engine page",
+        "http://a.example/x?q=a b|c",
+        "http://a.example/x^y",
+        "not a url",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "url string")
-    jvm_hosts = [r[0] for r in df.select(F.expr("parse_url(url, 'HOST')")).collect()]
+    jvm_hosts = [r[0] for r in df.select(host_expr("url")).collect()]
     assert jvm_hosts == [host_of(u) for u in urls]
+
+
+def test_path_protocol_exprs(spark):
+    from notjusthtml_searchengine_spark.functions.urlnorm import (
+        path_expr,
+        protocol_expr,
+    )
+
+    rows = [
+        ("http://a.example/robots.txt", "/robots.txt", "http"),
+        ("https://a.example/a b/c?q=1#f", "/a b/c", "https"),
+        ("http://a.example", "", "http"),
+        ("http://a.example/?q=1", "/", "http"),
+        ("garbage", "garbage", ""),
+    ]
+    df = spark.createDataFrame([(u,) for u, _, _ in rows], "url string")
+    got = df.select(path_expr("url"), protocol_expr("url")).collect()
+    for (u, p, s), r in zip(rows, got):
+        assert r[0] == p, (u, r[0])
+        assert r[1] == s, (u, r[1])
+
+
+def test_canonicalize_escapes_like_go():
+    """Go url.String() re-serializes the PATH through EscapedPath():
+    a raw space percent-encodes, an already-encoded path is kept
+    byte-identical, an invalid %-escape is a parse error (None — the
+    reference drops the link). Query is emitted verbatim."""
+    assert (
+        canonicalize("http://a.example/spark engine page")
+        == "http://a.example/spark%20engine%20page"
+    )
+    assert canonicalize("http://a.example/a%20b") == "http://a.example/a%20b"
+    assert canonicalize("http://a.example/%zz") is None
+    assert canonicalize("http://a.example/x%2") is None
+    # query kept verbatim (Go RawQuery round-trip), fragment escaped
+    assert canonicalize("http://a.example/x?q=a b") == "http://a.example/x?q=a b"
+    assert canonicalize("http://a.example/x#a b") == "http://a.example/x#a%20b"
+    # Go keeps these path bytes raw (validEncoded set)
+    assert (
+        canonicalize("http://a.example/a!$&'()*+,;=:@[]b")
+        == "http://a.example/a!$&'()*+,;=:@[]b"
+    )
+    # space in the HOST is a Go parse error
+    assert canonicalize("http://a b.example/x") is None
+    # resolution of a spacey href escapes too
+    assert (
+        resolve("http://a.example/", "/spark engine page")
+        == "http://a.example/spark%20engine%20page"
+    )
 
 
 @given(
@@ -75,5 +138,13 @@ def test_host_parity_python_vs_jvm(spark):
 )
 def test_canonicalize_idempotent(url):
     c1 = canonicalize(url)
-    assert c1 is not None
+    if c1 is None:
+        # only a Go-faithful parse error may return None: an invalid
+        # %-escape in the generated path
+        from notjusthtml_searchengine_spark.functions.urlnorm import (
+            _valid_escapes,
+        )
+
+        assert not _valid_escapes(url)
+        return
     assert canonicalize(c1) == c1
