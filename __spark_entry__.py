@@ -685,6 +685,63 @@ def q_ann_lsh_multiprobe(spark, sf_dir):
     return lsh_topk(emb, queries, k=5, n_planes=4, dim=64, n_probes=3)
 
 
+def q_ann_probe_cost(spark, sf_dir):
+    """The COST side of the multi-probe recall/cost dial (read next to
+    ann_recall): per (n_probes, qid) on an n_planes=8 (256-bucket)
+    index, the number of candidate vectors actually scanned by probe
+    widths 1/3/5 — fully DuckDB-re-derived (identical portable-hash
+    hyperplanes + Hamming-1 probe expansion)."""
+    from notjusthtml_searchengine_spark.operators.similarity import lsh_probe_stats
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_probe_stats(
+        emb, queries, n_planes=8, dim=64, probe_counts=(1, 3, 5)
+    )
+
+
+def _sql_ann_probe_cost(
+    n_planes: int = 8, dim: int = 64, probe_counts=(1, 3, 5)
+) -> str:
+    """DuckDB mirror of lsh_probe_stats (same hyperplane/bucket CTEs
+    as _sql_ann_lsh, at n_planes=8)."""
+
+    def comps(p: int) -> str:
+        return (
+            f"list_transform(generate_series(0, {dim - 1}), j -> "
+            f"CASE WHEN CAST('0x'||substr(md5(CAST({p} AS VARCHAR)||':'||CAST(j AS VARCHAR)),1,15) AS BIGINT) % 2 = 0 "
+            f"THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(vq, {comps(p)}) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    probe_items = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(n_planes)]
+    )
+    probe_union = " UNION ALL ".join(
+        f"SELECT {np} AS n_probes, qid, "
+        f"unnest(list_slice([{probe_items}], 1, {np})) AS bucket FROM q"
+        for np in probe_counts
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS vq
+           FROM embeddings),
+b AS (SELECT vec_id, vq, {bucket} AS bucket FROM e),
+q AS (SELECT vec_id AS qid, bucket FROM b WHERE vec_id < 3),
+p AS ({probe_union})
+SELECT p.n_probes, p.qid, CAST(count(*) AS BIGINT) AS candidates
+FROM b JOIN p USING (bucket) WHERE b.vec_id <> p.qid
+GROUP BY p.n_probes, p.qid
+"""
+
+
+SQL_ANN_PROBE_COST = _sql_ann_probe_cost()
+
+
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF-Flat ANN (deterministic pivot centroids → oracle-exact):
     index assignment + nprobe bucket probe + exact cosine rank."""
@@ -1158,19 +1215,108 @@ def q_robots_parse(spark, sf_dir):
     )
 
 
+def _robots_parse_oracle() -> str:
+    """Restricted DuckDB oracle for q_robots_parse: an INDEPENDENT
+    string-function re-implementation of the RFC 9309 parse over the
+    same fixture bodies — line splitting, comment stripping, group
+    runs (a user-agent line opens a new group only after a non-agent
+    line), longest-matching-agent group selection with '*' fallback,
+    and the engine's rule-reduction policy (wildcard/'$' Allows
+    dropped, Disallows kept verbatim, last crawl-delay wins,
+    truncating float→ms like Python int())."""
+    vals = ",\n  ".join(
+        "('%s', '%s')"
+        % (h, b.replace("'", "''").replace("\n", "' || chr(10) || '"))
+        for h, b in ROBOTS_FIXTURES
+    )
+    return f"""
+WITH fixtures(host, body) AS (VALUES
+  {vals}),
+lines AS (
+  SELECT host, generate_subscripts(split(body, chr(10)), 1) AS idx,
+         trim(split_part(unnest(split(body, chr(10))), '#', 1)) AS stripped
+  FROM fixtures
+),
+directives AS (
+  SELECT host, idx,
+         lower(trim(split_part(stripped, ':', 1))) AS field,
+         trim(substr(stripped, strpos(stripped, ':') + 1)) AS value
+  FROM lines
+  WHERE strpos(stripped, ':') > 0
+),
+marked AS (
+  SELECT *, CASE WHEN field = 'user-agent' AND
+      coalesce(lag(field) OVER (PARTITION BY host ORDER BY idx), '') <> 'user-agent'
+      THEN 1 ELSE 0 END AS new_grp
+  FROM directives
+),
+grouped AS (
+  SELECT *, sum(new_grp) OVER (PARTITION BY host ORDER BY idx) AS grp
+  FROM marked
+),
+best AS (
+  SELECT host, grp FROM (
+    SELECT host, grp,
+      row_number() OVER (PARTITION BY host ORDER BY
+        CASE WHEN agent = '*' THEN 0 ELSE length(agent) END DESC, grp ASC) AS rn
+    FROM (SELECT DISTINCT host, grp, lower(value) AS agent
+          FROM grouped WHERE field = 'user-agent')
+    WHERE agent = '*' OR (agent <> '' AND strpos('njh', agent) > 0)
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT g.host,
+    count(*) FILTER (WHERE g.field = 'allow' AND g.value <> ''
+                     AND strpos(g.value, '*') = 0 AND NOT g.value LIKE '%$') AS n_allow,
+    count(*) FILTER (WHERE g.field = 'disallow' AND g.value <> '') AS n_disallow,
+    last(CAST(trunc(TRY_CAST(g.value AS DOUBLE) * 1000) AS INTEGER) ORDER BY g.idx)
+      FILTER (WHERE g.field = 'crawl-delay' AND TRY_CAST(g.value AS DOUBLE) IS NOT NULL)
+      AS crawl_delay_ms
+  FROM grouped g JOIN best b ON g.host = b.host AND g.grp = b.grp
+  GROUP BY g.host
+)
+SELECT f.host,
+       CAST(coalesce(c.n_allow, 0) AS INTEGER) AS n_allow,
+       CAST(coalesce(c.n_disallow, 0) AS INTEGER) AS n_disallow,
+       c.crawl_delay_ms
+FROM fixtures f LEFT JOIN counts c ON f.host = c.host
+"""
+
+
+SQL_ROBOTS_PARSE = _robots_parse_oracle()
+
+
 def q_warc_roundtrip(spark, sf_dir):
-    """WARC source connector: encode the mini corpus into a
-    gzip-member WARC, read it back through sources/warc.py, verify
-    byte-identical bodies per url."""
+    """WARC source connector, restricted-oracle form: the 16
+    lowest-doc_id ``documents`` rows become WARC response records
+    (url derived from doc_id, body = utf-8 text), written as a
+    gzip-member WARC and read back through sources/warc.py. The DuckDB
+    oracle re-derives url + body byte length from the SAME documents
+    rows and pins roundtrip_ok — so record framing, gzip membering,
+    HTTP-envelope stripping and byte fidelity are all hash-checked."""
+    import datetime
     import os
     import tempfile
 
     from notjusthtml_searchengine_spark.sources.warc import read_warc, write_warc
 
-    src = _mini_pages(spark)
-    rows = src.select("url", "warc_ts", "html").collect()
+    src = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .orderBy("doc_id")
+        .limit(16)
+        .select(
+            F.concat(
+                F.lit("http://warc.example/doc/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            F.encode("text", "utf-8").alias("html"),
+        )
+    )
+    # 16 fixture rows collected to AUTHOR the archive — fixture
+    # construction, not a hot path
+    rows = src.collect()
+    ts = datetime.datetime(2026, 1, 1, tzinfo=datetime.timezone.utc)
     data = write_warc(
-        [{"url": r["url"], "warc_ts": r["warc_ts"], "html": bytes(r["html"])} for r in rows]
+        [{"url": r["url"], "warc_ts": ts, "html": bytes(r["html"])} for r in rows]
     )
     d = tempfile.mkdtemp(prefix="njh_warc_q_")
     with open(os.path.join(d, "part-00000.warc.gz"), "wb") as f:
@@ -1182,6 +1328,14 @@ def q_warc_roundtrip(spark, sf_dir):
         F.length("b.html").alias("n_bytes"),
         (F.col("b.html") == F.col("s.html")).alias("roundtrip_ok"),
     )
+
+
+SQL_WARC_ROUNDTRIP = """
+SELECT 'http://warc.example/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+       TRUE AS roundtrip_ok
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 16)
+"""
 
 
 def q_faces_detect(spark, sf_dir):
@@ -1225,7 +1379,7 @@ def q_ann_recall(spark, sf_dir):
     methods = spark.createDataFrame(
         [("lsh",), ("lsh_mp",), ("ivf",)], "method string"
     )
-    univ = brute.crossJoin(methods)  # 15 brute rows × 2 methods
+    univ = brute.crossJoin(methods)  # 15 brute rows × 3 methods
     hits = (
         univ.join(approx, ["method", "qid", "neighbor_id"], "left_semi")
         .groupBy("method", "qid")
@@ -1366,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_recall": q_ann_recall,
+        "ann_probe_cost": q_ann_probe_cost,
         "embedding_neardup": q_embedding_neardup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1422,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_multiprobe": SQL_ANN_LSH_MP,
         "ann_ivf_topk": SQL_ANN_IVF,
         "ann_recall": SQL_ANN_RECALL,
+        "ann_probe_cost": SQL_ANN_PROBE_COST,
         "embedding_neardup": SQL_EMB_NEARDUP,
         "lang_id": SQL_LANG_ID,
         "quality_score": SQL_QUALITY,
@@ -1431,4 +1587,6 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow_fingerprint": SQL_WINNOW,
         "content_sniff_magic": SQL_SNIFF_MAGIC,
         "url_canonicalize": SQL_URL_CANON,
+        "robots_parse": SQL_ROBOTS_PARSE,
+        "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }

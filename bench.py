@@ -85,7 +85,12 @@ def _cpu_times() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
+def run_crawl(
+    master: str,
+    corpus_dir: str,
+    shuffle_partitions: int,
+    per_host_budget: int | None = None,
+) -> dict:
     """One full frontier drain; returns pages/wall/pps."""
     from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
     from notjusthtml_searchengine_spark.session import get_spark
@@ -128,7 +133,10 @@ def run_crawl(master: str, corpus_dir: str, shuffle_partitions: int) -> dict:
     cfg = CrawlConfig(
         state_dir=state_dir,
         round_budget=None,
-        per_host_budget=None,  # saturated-frontier throughput mode
+        # None = saturated-frontier throughput mode; the politeness leg
+        # (SPARK_GRAFT_BENCH_CAPPED) passes a real cap so the W2 host
+        # window is IN the measured path
+        per_host_budget=per_host_budget,
         use_robots=True,
         # exact anti-join only: the bloom shard pre-filter is the
         # 10^10-seen-rows scale path; at bench scale (seen fits in one
@@ -323,6 +331,7 @@ def main() -> None:
     ap.add_argument("--crawl-only", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--pages", type=int, default=int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "96000")))
+    ap.add_argument("--host-budget", type=int, default=None)
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -342,7 +351,10 @@ def main() -> None:
         # Production leaves this to AQE coalescing from a high initial
         # count; the bench exposes it for the sf1 rehearsal.
         shuf = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "0")) or max(n, 8)
-        res = run_crawl(master, corpus, shuffle_partitions=shuf)
+        res = run_crawl(
+            master, corpus, shuffle_partitions=shuf,
+            per_host_budget=args.host_budget,
+        )
         print(json.dumps(res))
         return
 
@@ -369,10 +381,10 @@ def main() -> None:
         runs = [(f"local[{hi}]", "4n")]
     attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
 
-    def one_crawl(master: str) -> dict:
+    def one_crawl(master: str, extra: list[str] | None = None) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--crawl-only",
-             "--master", master, "--pages", str(args.pages)],
+             "--master", master, "--pages", str(args.pages), *(extra or [])],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
@@ -432,6 +444,26 @@ def main() -> None:
                 )
         scaling["pair_efficiencies"] = pair_effs
 
+    # Politeness leg: ONE interleaved pair with a real per-host cap so
+    # the W2 host window — the politeness centerpiece — is in the
+    # measured path (the saturated-throughput runs above bypass it).
+    # Cap chosen so the Zipf-head host drains over several rounds
+    # without exploding round count.
+    capped = None
+    cap = int(os.environ.get("SPARK_GRAFT_BENCH_CAPPED", "4096"))
+    if cap > 0 and os.environ.get("SPARK_GRAFT_BENCH_SCALING", "1") != "0":
+        cap_args = ["--host-budget", str(cap)]
+        cap_lo = one_crawl(f"local[{lo}]", cap_args)
+        cap_hi = one_crawl(f"local[{hi}]", cap_args)
+        a = cap_lo.get("sustained_pages_per_sec")
+        b = cap_hi.get("sustained_pages_per_sec")
+        capped = {
+            "host_budget": cap,
+            f"local{lo}": cap_lo,
+            f"local{hi}": cap_hi,
+            "efficiency_sustained": round(b / ((hi / lo) * a), 3) if a and b else None,
+        }
+
     kernel_scaling = run_kernel_scaling(
         corpus, masters=(f"local[{lo}]", f"local[{hi}]")
     )
@@ -448,6 +480,7 @@ def main() -> None:
         "queries": queries,
         "sf": sf,
         "crawl": crawl_main,
+        "capped_crawl": capped,
         "kernel_scaling": kernel_scaling,
         "cpu_calibration": calib,
     }
@@ -502,9 +535,12 @@ def main() -> None:
 
     # Full audit detail goes to a file; the FINAL stdout line is a
     # COMPACT summary (the harness captures a bounded output tail and
-    # truncated the former fat line into unparseable JSON).
-    os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/last_run_full.json", "w") as f:
+    # truncated the former fat line into unparseable JSON). Anchored to
+    # the repo root so invoking bench.py from elsewhere still writes
+    # where the summary says it does.
+    bench_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+    os.makedirs(bench_dir, exist_ok=True)
+    with open(os.path.join(bench_dir, "last_run_full.json"), "w") as f:
         json.dump(out, f, indent=1)
     compact = {
         "metric": out["metric"],
@@ -529,6 +565,15 @@ def main() -> None:
         }
     if "efficiency" in kernel_scaling:
         compact["kernel_scaling_efficiency"] = kernel_scaling["efficiency"]
+    if capped:
+        compact["capped"] = {
+            "host_budget": capped["host_budget"],
+            "pps": {
+                f"local{lo}": capped[f"local{lo}"].get("sustained_pages_per_sec"),
+                f"local{hi}": capped[f"local{hi}"].get("sustained_pages_per_sec"),
+            },
+            "eff": capped["efficiency_sustained"],
+        }
     compact["full_detail"] = "BENCH/last_run_full.json"
     print(json.dumps(compact))
 

@@ -17,13 +17,16 @@ Parser follows RFC 9309 (Robots Exclusion Protocol):
 
 The engine's filter matches PREFIXES (startswith) with RFC 9309
 longest-match precedence (the longest matching rule wins; allow wins
-ties). Wildcard patterns are conservatively reduced in the SAFE
-direction only: a Disallow is truncated at its first '*' / stripped
-of a trailing '$' (may over-block — fine for a polite crawler), while
-an Allow containing '*' or anchored with '$' is DROPPED entirely
-(truncating an Allow would WIDEN it: 'Allow: /*.css' → '/' would
-defeat every Disallow on the host). Empty Disallow ("allow all")
-produces no rule, per spec.
+ties). Wildcard handling is conservative in the SAFE direction only:
+a Disallow pattern is stored VERBATIM — the filter matches the text
+before its first '*' (trailing '$' stripped) but ranks it by the
+ORIGINAL pattern length, so 'Disallow: /foo*' (length 5) still beats
+'Allow: /foo' (length 4) on /foobar exactly as a real longest-match
+parser would; the reduced match-set is a superset, which can only
+OVER-block. An Allow containing '*' or anchored with '$' is DROPPED
+entirely (reducing an Allow would WIDEN it: 'Allow: /*.css' → '/'
+would defeat every Disallow on the host). Empty Disallow ("allow
+all") produces no rule, per spec.
 
 Vectorized form (`robots_rules`) runs as one mapInPandas over
 (host, body) rows → ROBOTS-schema rows, partitioned like any other
@@ -38,24 +41,23 @@ from .. import schemas
 
 
 def _clean_pattern(p: str, allow: bool = False) -> str | None:
-    """RFC pattern → engine prefix. None = no usable rule.
+    """RFC pattern → stored engine pattern. None = no usable rule.
 
-    Reduction must never widen a rule's effect: truncation shortens
-    the prefix, which for a Disallow only blocks MORE (safe) but for
-    an Allow would permit MORE (unsafe — a wildcard Allow reduced to
-    '/' overrides every Disallow under longest-match). So Allow rules
-    with '*' or a '$' anchor are dropped instead of reduced."""
+    Disallow patterns are kept VERBATIM: the enforcement side
+    (crawl_ops._longest_match_len) matches on the text before the
+    first '*' (trailing '$' stripped) but ranks by the ORIGINAL
+    pattern length — truncating here would shorten the stored length
+    and let an equally-long Allow win a tie the real pattern would
+    have beaten (under-block = impolite fetch). Allow rules with '*'
+    or a '$' anchor are dropped instead of reduced (a reduced Allow
+    MATCHES more — e.g. '/*.css' → '/' overrides every Disallow under
+    longest-match)."""
     p = p.strip()
     if not p:
         return None
     if allow and ("*" in p or p.endswith("$")):
         return None
-    star = p.find("*")
-    if star >= 0:
-        p = p[:star]
-    if p.endswith("$"):
-        p = p[:-1]
-    return p or None
+    return p
 
 
 def parse_robots_txt(text: str, user_agent: str = "*") -> dict:

@@ -109,12 +109,12 @@ def drain_frontier(
             .drop("_hr", "host_cap")
         )
     if round_budget is not None:
-        # Global top-k: single-partition window is fine because the
-        # per-host cap has already bounded the candidate count to
-        # (#hosts × per_host_budget); at cluster scale use a two-phase
-        # top-k (per-partition limit then global) — Catalyst's
-        # TakeOrderedAndProject does exactly this for sort+limit, so
-        # prefer orderBy+limit when no host cap is set.
+        # Global top-k via orderBy+limit: Catalyst compiles this to
+        # TakeOrderedAndProject — per-partition top-k then a bounded
+        # merge, never a single-partition sort — including after the
+        # host-cap window above, so a pathological many-hosts config
+        # cannot serialize the drain (plan-asserted in
+        # tests/test_plans.py).
         batch = batch.orderBy(F.desc("priority"), F.asc("url_hash")).limit(round_budget)
     return batch
 
@@ -260,15 +260,27 @@ def collapse_candidates(cands: DataFrame) -> DataFrame:
 # Blocked candidates never enter the seen set (they may become
 # allowed later when rules change).
 # ---------------------------------------------------------------------------
+def _match_prefix(p):
+    """Effective startswith-prefix of a stored robots pattern: text
+    before the first '*', trailing '$' anchor stripped. Plain prefixes
+    pass through unchanged."""
+    return F.regexp_replace(F.substring_index(p, "*", 1), r"\$$", "")
+
+
 def _longest_match_len(prefixes, path):
-    """Length of the longest rule prefix matching ``path`` (-1: none).
+    """Length of the longest rule pattern matching ``path`` (-1: none).
+
+    Matching uses the reduced prefix (superset of the wildcard's match
+    set — can only over-block); precedence uses the ORIGINAL pattern
+    length, so 'Disallow: /foo*' (5) still beats 'Allow: /foo' (4) on
+    /foobar like a real longest-match parser (robots.py module doc).
     Pure array built-ins — stays inside whole-stage codegen."""
     return F.coalesce(
         F.array_max(
             F.transform(
                 F.filter(
                     F.coalesce(prefixes, F.array()),
-                    lambda p: path.startswith(p),
+                    lambda p: path.startswith(_match_prefix(p)),
                 ),
                 F.length,
             )

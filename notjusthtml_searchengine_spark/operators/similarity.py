@@ -165,6 +165,50 @@ def lsh_topk(
     )
 
 
+def lsh_probe_stats(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    n_planes: int,
+    dim: int,
+    probe_counts: tuple[int, ...] = (1, 3, 5),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe-COST accounting for the multi-probe dial: per
+    (n_probes, qid), how many candidate vectors the widened search
+    actually scans (the occupancy of the probed buckets, self
+    excluded). Read next to recall@k this is the full recall/cost
+    trade: n_probes=p scans ~p/2^n_planes of the corpus. Queries whose
+    probed buckets are empty produce no row (both engines agree)."""
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    e = e.withColumn("bucket", hyperplane_signs(F.col("vq"), n_planes, dim))
+    q0 = queries.select("qid", quantized(F.col("qvec")).alias("qq"))
+    q0 = q0.withColumn("bucket", hyperplane_signs(F.col("qq"), n_planes, dim))
+    probe_list = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << p).cast("bigint"))
+            for p in range(n_planes)
+        ],
+    )
+    probes = None
+    for np_ in probe_counts:
+        if not 1 <= np_ <= n_planes + 1:
+            raise ValueError("probe counts must be in [1, n_planes+1]")
+        pq = q0.select(
+            F.lit(np_).alias("n_probes"),
+            "qid",
+            F.explode(F.slice(probe_list, 1, np_)).alias("bucket"),
+        )
+        probes = pq if probes is None else probes.unionByName(pq)
+    return (
+        e.join(F.broadcast(probes), "bucket")
+        .filter(F.col(id_col) != F.col("qid"))
+        .groupBy("n_probes", "qid")
+        .agg(F.count(F.lit(1)).alias("candidates"))
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -97,11 +97,20 @@ def merge_frontier_sql() -> str:
     )
 
 
-def expire_snapshots_sql(older_than_ts: str, retain_last: int = 2) -> str:
-    """gc_state analog (Iceberg snapshot expiry procedure)."""
+#: every table gc_state must expire — the parquet backend's gc_state
+#: expires ALL superseded state; expiring only 'frontier' would let
+#: seen/drained/dim snapshots accumulate unboundedly (ADVICE r3)
+STATE_TABLES = ("frontier", "seen", "drained")
+DIM_TABLES = ("sites", "domains", "content_types")
+
+
+def expire_snapshots_sql(
+    table: str, older_than_ts: str, retain_last: int = 2
+) -> str:
+    """gc_state analog (Iceberg snapshot expiry procedure), per table."""
     return (
         f"CALL {CATALOG}.system.expire_snapshots("
-        f"table => '{NAMESPACE}.frontier', "
+        f"table => '{NAMESPACE}.{table}', "
         f"older_than => TIMESTAMP '{older_than_ts}', "
         f"retain_last => {retain_last})"
     )
@@ -165,7 +174,11 @@ class IcebergCrawlState:
             self.spark.sql(tag_round_sql(t, r))
 
     def gc_state(self, older_than_ts: str, retain_last: int = 2) -> None:
-        self.spark.sql(expire_snapshots_sql(older_than_ts, retain_last))
+        """Expire superseded snapshots of EVERY state and dim table
+        (the parquet backend's gc_state removes all superseded state,
+        not just the frontier)."""
+        for t in STATE_TABLES + DIM_TABLES:
+            self.spark.sql(expire_snapshots_sql(t, older_than_ts, retain_last))
 
 
 class IcebergUnavailable(RuntimeError):

@@ -131,6 +131,23 @@ class CrawlEngine:
     ):
         self.spark = spark
         self.cfg = cfg
+        # State-backend dispatch (cfg.extra["state_backend"]): the
+        # Iceberg backend fails LOUDLY at construction when the runtime
+        # jars are absent (IcebergUnavailable) instead of mid-crawl; it
+        # provisions the bucket-transform state tables up front and the
+        # parquet CrawlState keeps serving the manifest/sink surface
+        # (Iceberg replaces the bucketed-table trick + snapshot GC, not
+        # the sink layout — see iceberg_state module doc).
+        backend = cfg.extra.get("state_backend", "parquet")
+        if backend == "iceberg":
+            from .iceberg_state import IcebergCrawlState
+
+            self.iceberg = IcebergCrawlState(spark, cfg.state_dir)
+            self.iceberg.create_state_tables(cfg.n_buckets)
+        elif backend != "parquet":
+            raise ValueError(f"unknown state_backend {backend!r}")
+        else:
+            self.iceberg = None
         self.state = CrawlState(cfg.state_dir)
         self.pages = spark.read.schema(schemas.PAGES).parquet(pages_path)
         self.seeds_path = seeds_path
@@ -300,32 +317,43 @@ class CrawlEngine:
             self.state.read_bucketed(self.spark, p, FRONTIER_DDL, n_buckets)
             for p in stats["frontier_parts"]
         ]
+        drained_parts = stats.get("drained_parts", [])
+        # Per-PART tombstone filtering, BEFORE the union: a union of
+        # bucketed scans loses HashPartitioning (Spark never propagates
+        # it through Union), so the old union-then-join paid one full
+        # O(frontier) exchange per round — at a 10^10-row frontier
+        # that is a per-round full-state shuffle. Joining each bucketed
+        # frontier part against each co-bucketed drained part is
+        # exchange-free on BOTH sides (scan partitioning == join key),
+        # and `round_added >= max_j(drained_round_j)` factors into the
+        # chain `∀j: round_added >= drained_round_j`, so chained
+        # per-part filters keep the max-drained-round semantics exactly
+        # (same-round seed re-enqueue included). Tombstone part count
+        # is bounded by the compaction cadence.
+        if drained_parts:
+            tombs = [
+                self.state.read_bucketed(self.spark, p, DRAINED_DDL, n_buckets)
+                .groupBy("url_hash")
+                .agg(F.max("drained_round").alias("_dr"))
+                for p in drained_parts
+            ]
+            live = []
+            for fp in parts:
+                out = fp
+                for t in tombs:
+                    out = (
+                        out.join(t, "url_hash", "left")
+                        .filter(
+                            F.col("_dr").isNull()
+                            | (F.col("round_added") >= F.col("_dr"))
+                        )
+                        .drop("_dr")
+                    )
+                live.append(out)
+            parts = live
         frontier = parts[0]
         for p in parts[1:]:
             frontier = frontier.unionByName(p)
-        drained_parts = stats.get("drained_parts", [])
-        if drained_parts:
-            dfs = [
-                self.state.read_bucketed(self.spark, p, DRAINED_DDL, n_buckets)
-                for p in drained_parts
-            ]
-            drained = dfs[0]
-            for d in dfs[1:]:
-                drained = drained.unionByName(d)
-            # total tombstone volume ≈ recently drained urls (reset at
-            # each compaction); the groupBy is exchange-free on the
-            # bucketed parts
-            tomb = drained.groupBy("url_hash").agg(
-                F.max("drained_round").alias("_drained_round")
-            )
-            frontier = (
-                frontier.join(tomb, "url_hash", "left")
-                .filter(
-                    F.col("_drained_round").isNull()
-                    | (F.col("round_added") >= F.col("_drained_round"))
-                )
-                .drop("_drained_round")
-            )
         return frontier
 
     def _lineage(self, dfs: dict[str, tuple], r: int) -> DataFrame:

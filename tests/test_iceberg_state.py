@@ -40,10 +40,81 @@ def test_frontier_merge_folds_drain_and_add():
 
 
 def test_gc_and_round_tag_sql():
-    sql = ice.expire_snapshots_sql("2026-01-01 00:00:00", retain_last=3)
+    sql = ice.expire_snapshots_sql("seen", "2026-01-01 00:00:00", retain_last=3)
     assert "expire_snapshots" in sql and "retain_last => 3" in sql
+    assert "table => 'crawl.seen'" in sql
     tag = ice.tag_round_sql("frontier", 7)
     assert tag.endswith("CREATE OR REPLACE TAG round_00007")
+
+
+def test_gc_expires_every_state_and_dim_table():
+    """ADVICE r3: expiring only 'frontier' lets seen/drained/dim
+    snapshots accumulate unboundedly — gc_state must call the expiry
+    procedure once per table."""
+    ran = []
+
+    class FakeSpark:
+        def sql(self, q):
+            ran.append(q)
+
+    st = object.__new__(ice.IcebergCrawlState)
+    st.spark = FakeSpark()
+    st.gc_state("2026-01-01 00:00:00", retain_last=2)
+    tables = {q.split("table => '")[1].split("'")[0] for q in ran}
+    assert tables == {
+        f"{ice.NAMESPACE}.{t}" for t in ice.STATE_TABLES + ice.DIM_TABLES
+    }
+    assert len(ran) == len(ice.STATE_TABLES) + len(ice.DIM_TABLES)
+
+
+def test_engine_dispatches_state_backend(spark, tmp_path):
+    """CrawlConfig.extra['state_backend']='iceberg' must reach the
+    backend at CONSTRUCTION: with the runtime jars absent the engine
+    raises IcebergUnavailable before any round runs (not mid-crawl);
+    an unknown backend name is rejected loudly too."""
+    from notjusthtml_searchengine_spark.plans.rounds import CrawlConfig, CrawlEngine
+
+    if ice.iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — live path applies")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages = str(tmp_path / "pages.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(
+            [],
+            schema=pa.schema(
+                [
+                    ("url", pa.string()),
+                    ("warc_ts", pa.timestamp("us", tz="UTC")),
+                    ("html", pa.binary()),
+                ]
+            ),
+        ),
+        pages,
+    )
+    seeds = tmp_path / "seeds.txt"
+    seeds.write_text("http://a.example/\n")
+    flagged = tmp_path / "flagged.csv"
+    flagged.write_text("word,5\n")
+
+    def build(backend):
+        return CrawlEngine(
+            spark,
+            pages_path=pages,
+            seeds_path=str(seeds),
+            flagged_path=str(flagged),
+            robots_path=None,
+            cfg=CrawlConfig(
+                state_dir=str(tmp_path / "state"),
+                extra={"state_backend": backend},
+            ),
+        )
+
+    with pytest.raises(ice.IcebergUnavailable):
+        build("iceberg")
+    with pytest.raises(ValueError, match="state_backend"):
+        build("duck")
 
 
 def test_unavailable_raises_loudly(spark):

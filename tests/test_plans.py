@@ -265,6 +265,124 @@ def test_bucketed_sites_keys_anti_join_copartitioned(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
+def test_drain_budget_topk_two_phase_under_host_caps(spark):
+    """W1/O1 with BOTH a per-host cap and a round budget: the global
+    top-k must stay TakeOrderedAndProject (per-partition top-k +
+    bounded merge) — no SinglePartition exchange that would serialize
+    the drain when #hosts × cap is large."""
+    from notjusthtml_searchengine_spark.operators.crawl_ops import drain_frontier
+
+    frontier = (
+        spark.range(0, 1000)
+        .select(
+            F.concat(
+                F.lit("http://h"), (F.col("id") % 37).cast("string"),
+                F.lit(".ex/p/"), F.col("id").cast("string"),
+            ).alias("url_norm")
+        )
+        .withColumn("host", F.regexp_extract("url_norm", r"//([^/]*)/", 1))
+        .withColumn("priority", F.lit(50))
+        .withColumn("depth", F.lit(0))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+    )
+    caps = spark.createDataFrame([("h1.ex", 2)], "host string, host_cap int")
+    batch = drain_frontier(
+        frontier, round_budget=50, per_host_budget=5, host_caps=caps
+    )
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert batch.count() == 50
+
+
+def test_frontier_view_tombstone_filter_exchange_free(spark, tmp_path):
+    """The incremental frontier's live view must NOT shuffle the
+    frontier: tombstone filtering happens per bucketed part via
+    co-partitioned joins BEFORE the union (a union of bucketed scans
+    loses HashPartitioning, so the old union-then-join paid one full
+    O(frontier) exchange per round). Semantics are unchanged: a row is
+    live iff round_added >= every matching tombstone's drained_round
+    (the >= keeps the same-round seed re-enqueue quirk)."""
+    from notjusthtml_searchengine_spark.plans.rounds import CrawlEngine
+    from notjusthtml_searchengine_spark.plans.state import CrawlState
+
+    state = CrawlState(str(tmp_path))
+    mk_front = lambda lo, hi, rnd: (
+        spark.range(lo, hi)
+        .select(F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url_norm"))
+        .withColumn("host", F.lit("h.ex"))
+        .withColumn("priority", F.lit(90))
+        .withColumn("depth", F.lit(0))
+        .withColumn("round_added", F.lit(rnd))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+    )
+    mk_drained = lambda ids, rnd: (
+        spark.createDataFrame([(i,) for i in ids], "id long")
+        .select(F.concat(F.lit("http://h.ex/p/"), F.col("id").cast("string")).alias("url_norm"))
+        .select(F.xxhash64("url_norm").alias("url_hash"), F.lit(rnd).alias("drained_round"))
+    )
+    stats = {
+        "frontier_parts": [
+            state.write_bucketed(mk_front(0, 10, 0), 0, "frontier_full", 8),
+            state.write_bucketed(mk_front(10, 16, 1), 1, "frontier_delta", 8),
+        ],
+        "drained_parts": [
+            state.write_bucketed(mk_drained([0, 1, 2, 3, 4], 1), 1, "drained", 8),
+            # u5 (added r0) and u10 (added r1) die to the r2 tombstones
+            state.write_bucketed(mk_drained([5, 10], 2), 2, "drained", 8),
+        ],
+    }
+    eng = object.__new__(CrawlEngine)
+    eng.spark = spark
+    eng.state = state
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        view = eng._frontier_view(stats, 8)
+        plan = view._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan  # fully co-bucketed
+        assert "Bucketed: true" in plan
+        live = {r["url_norm"].rsplit("/", 1)[1] for r in view.collect()}
+        # u0-u5 dead (added r0, drained r1/r2), u6-u9 live,
+        # u10 dead (added r1, drained r2), u11-u15 live
+        assert live == {str(i) for i in [6, 7, 8, 9, 11, 12, 13, 14, 15]}, live
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_frontier_view_same_round_readd_survives(spark, tmp_path):
+    """A url drained in round r and re-added in the SAME round r (the
+    seed-rediscovery quirk — seeds never enter seen) must stay live:
+    round_added == drained_round keeps the row."""
+    from notjusthtml_searchengine_spark.plans.rounds import CrawlEngine
+    from notjusthtml_searchengine_spark.plans.state import CrawlState
+
+    state = CrawlState(str(tmp_path))
+    seed = (
+        spark.createDataFrame([("http://h.ex/seed",)], "url_norm string")
+        .withColumn("host", F.lit("h.ex"))
+        .withColumn("priority", F.lit(90))
+        .withColumn("depth", F.lit(0))
+        .withColumn("round_added", F.lit(3))
+        .withColumn("url_hash", F.xxhash64("url_norm"))
+    )
+    tomb = spark.createDataFrame([("http://h.ex/seed",)], "url_norm string").select(
+        F.xxhash64("url_norm").alias("url_hash"), F.lit(3).alias("drained_round")
+    )
+    stats = {
+        "frontier_parts": [state.write_bucketed(seed, 3, "frontier_delta", 8)],
+        "drained_parts": [state.write_bucketed(tomb, 3, "drained", 8)],
+    }
+    eng = object.__new__(CrawlEngine)
+    eng.spark = spark
+    eng.state = state
+    assert eng._frontier_view(stats, 8).count() == 1
+
+
 def test_batch_stats_byte_estimate(spark, tmp_path):
     """Broadcast decisions are BYTE-based: _batch_stats measures
     url+host chars + fixed per-row overhead in one job, and the

@@ -53,9 +53,45 @@ def test_wildcard_allow_never_widens():
     g = parse_robots_txt(body, "bot")
     assert g["allow_prefixes"] == []  # both unsafe Allows dropped
     assert g["disallow_prefixes"] == ["/private/"]
-    # Disallow reduction stays (over-blocks only)
+    # Disallow patterns are stored VERBATIM — the filter reduces the
+    # match prefix but ranks by the original length (never under-blocks)
     g2 = parse_robots_txt("User-agent: *\nDisallow: /a*/b\nDisallow: /c$\n", "bot")
-    assert g2["disallow_prefixes"] == ["/a", "/c"]
+    assert g2["disallow_prefixes"] == ["/a*/b", "/c$"]
+
+
+def test_truncated_wildcard_disallow_keeps_original_precedence(spark):
+    """ADVICE r3: 'Allow: /foo' + 'Disallow: /foo*' on /foobar — a
+    real longest-match parser blocks (pattern length 5 > 4). Storing
+    the truncated prefix '/foo' (4) let the Allow win the tie =
+    under-block. Verbatim storage + original-length ranking blocks."""
+    rules = spark.createDataFrame(
+        [("h.ex", ["/foo"], ["/foo*"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://h.ex/foobar", "h.ex"),  # dis 5 > allow 4 → blocked
+            ("http://h.ex/other", "h.ex"),   # no match → allowed
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {"http://h.ex/other"}
+
+
+def test_dollar_anchor_disallow_keeps_original_precedence(spark):
+    """Same under-block class with the '$' anchor: 'Disallow: /foo$'
+    (length 5) must beat 'Allow: /foo' (4) on the exact path /foo."""
+    rules = spark.createDataFrame(
+        [("h.ex", ["/foo"], ["/foo$"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [("http://h.ex/foo", "h.ex")], "url_norm string, host string"
+    )
+    assert robots_filter(cands, rules).count() == 0
 
 
 def test_longest_match_precedence(spark):

@@ -145,6 +145,56 @@ def test_ann_recall_query_floor(spark):
     assert all(0.0 <= x <= 1.0 for xs in by_method.values() for x in xs)
 
 
+def test_multiprobe_dial_monotone_at_8_planes(spark):
+    """The recall/cost dial must be MONOTONE beyond the 16-bucket
+    index ann_recall exercises: on the 256-bucket (n_planes=8) index
+    over the sf0.001 embeddings, widening n_probes 1→3→5→9 never
+    decreases recall@5 and strictly increases scan cost (candidates).
+    Pins the dial's shape, not just one point."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        brute_topk,
+        lsh_probe_stats,
+        lsh_topk,
+    )
+
+    emb8 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb8.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = {(r["qid"], r["neighbor_id"]) for r in brute_topk(emb8, qs, k=5).collect()}
+    probes = (1, 3, 5, 9)
+    recalls = []
+    for np_ in probes:
+        got = {
+            (r["qid"], r["neighbor_id"])
+            for r in lsh_topk(
+                emb8, qs, k=5, n_planes=8, dim=64, n_probes=np_
+            ).collect()
+        }
+        recalls.append(len(truth & got) / len(truth))
+    assert all(a <= b for a, b in zip(recalls, recalls[1:])), recalls
+    assert recalls[-1] > recalls[0], recalls  # the dial actually buys recall
+    assert recalls[-1] >= 0.15, recalls
+    # probe COST: total candidates scanned strictly increases with the
+    # probe count (the occupancy stats the ann_probe_cost query surfaces)
+    stats = lsh_probe_stats(
+        emb8, qs, n_planes=8, dim=64, probe_counts=probes
+    ).collect()
+    totals = {}
+    for r in stats:
+        totals[r["n_probes"]] = totals.get(r["n_probes"], 0) + r["candidates"]
+    costs = [totals.get(np_, 0) for np_ in probes]
+    assert all(a < b for a, b in zip(costs, costs[1:])), costs
+
+
+def test_lsh_probe_stats_validation(spark, emb):
+    from notjusthtml_searchengine_spark.operators.similarity import lsh_probe_stats
+
+    q = emb.limit(1).selectExpr("vec_id AS qid", "embedding AS qvec")
+    with pytest.raises(ValueError):
+        lsh_probe_stats(emb, q, n_planes=4, dim=DIM, probe_counts=(1, 6))
+
+
 def test_lsh_multiprobe_validation(spark, emb):
     from notjusthtml_searchengine_spark.operators.similarity import lsh_topk
 
