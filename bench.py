@@ -111,7 +111,11 @@ def run_crawl(
             # scale, negligible (and beneficial: skew splits) on a real
             # cluster. Benchmark uses static partitioning sized to the
             # known topology, as one would on a provisioned cluster.
-            "spark.sql.adaptive.enabled": "false",
+            # SPARK_GRAFT_BENCH_AQE=1 measures the AQE-coalescing
+            # alternative (high initial count, runtime coalesce).
+            "spark.sql.adaptive.enabled": (
+                "true" if os.environ.get("SPARK_GRAFT_BENCH_AQE") == "1" else "false"
+            ),
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -161,6 +165,12 @@ def run_crawl(
             "SPARK_GRAFT_BENCH_AUTO_SHUFFLE", "1"
         )
         == "1",
+        # A/B hook for the per-partition byte target the auto-sizer
+        # aims at (sf1 sweep: 128 MiB may be too coarse when execution
+        # memory is shared across 8 concurrent tasks)
+        target_partition_bytes=int(
+            os.environ.get("SPARK_GRAFT_BENCH_TARGET_PB", str(128 << 20))
+        ),
     )
     eng = CrawlEngine(
         spark,
