@@ -1040,6 +1040,56 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_crawl_visible_text_restricted(spark, sf_dir):
+    """U2 with a RESTRICTED DuckDB oracle: construct well-formed HTML
+    bodies from documents rows (single text node, no entities — the
+    sf corpus text is printable ASCII with no <>&, and the query
+    filters to guarantee it), run the REAL HTML-parse + stringsx.Clean
+    + visible-text kernel over them, and return the regenerated text.
+    On this family visible_text(html(text)) == text byte-for-byte, so
+    the oracle re-derives the full output from the same rows — the
+    kernel's parse/clean path is hash-checked, not just row-counted.
+    (q_crawl_visible_text keeps exercising real multi-node HTML; this
+    query makes the kernel oracle-checkable.)"""
+    from notjusthtml_searchengine_spark.extract.udfs import visible_text_udf
+
+    docs = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(
+            ~F.col("text").rlike(r"[<>&]")
+            & F.col("text").rlike(r"^[ -~]*$")  # printable ASCII only
+        )
+        .orderBy("doc_id")
+        .limit(64)
+        .select(
+            "doc_id",
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "utf-8",
+            ).alias("html"),
+        )
+    )
+    return docs.select(
+        "doc_id",
+        visible_text_udf("html").alias("text_out"),
+        F.length(visible_text_udf("html")).alias("n_chars"),
+    )
+
+
+SQL_VISIBLE_TEXT_RESTRICTED = """
+SELECT doc_id, text AS text_out, CAST(length(text) AS INTEGER) AS n_chars
+FROM (
+  SELECT doc_id, text FROM documents
+  WHERE NOT regexp_matches(text, '[<>&]') AND regexp_matches(text, '^[ -~]*$')
+  ORDER BY doc_id LIMIT 64
+)
+"""
+
+
 def q_content_sniff(spark, sf_dir):
     """U4: WHATWG content-type sniff distribution over mixed bodies."""
     from notjusthtml_searchengine_spark.extract.udfs import sniff_udf
@@ -1531,6 +1581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # crawl-kernel demos (non-SQL kernels; golden-tested)
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
+        "crawl_visible_text_restricted": q_crawl_visible_text_restricted,
         "content_sniff": q_content_sniff,
         "content_sniff_magic": q_content_sniff_magic,
         "url_canonicalize": q_url_canonicalize,
@@ -1588,5 +1639,6 @@ def oracle_sql() -> dict[str, str]:
         "content_sniff_magic": SQL_SNIFF_MAGIC,
         "url_canonicalize": SQL_URL_CANON,
         "robots_parse": SQL_ROBOTS_PARSE,
+        "crawl_visible_text_restricted": SQL_VISIBLE_TEXT_RESTRICTED,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }

@@ -101,6 +101,19 @@ class CrawlConfig:
     target_partition_bytes: int = 128 << 20
     shuffle_row_expansion: int = 3
     max_shuffle_partitions: int = 4096
+    # Two-sided refinement of the volume sizing (sf1 sweep,
+    # BENCH/sf1_ab_r4.jsonl): once partitions are spill-safe, ADDING
+    # tasks costs more than it saves — every extra task through the
+    # Python extraction stage pays an Arrow round-trip, and 80 tasks
+    # measurably lost ~9% sustained slope vs 64 on the same round. So
+    # the count is capped at max_task_waves full waves of the
+    # scheduler, letting partitions grow past target_partition_bytes
+    # up to spill_guard_partition_bytes (the r3 sf1 collapse was at
+    # ~1.5 GB partitions; 512 MiB keeps 3x headroom under it at this
+    # heap). Beyond the guard, volume wins again and the count rises —
+    # a 100 TB round still fans out.
+    max_task_waves: int = 8
+    spill_guard_partition_bytes: int = 512 << 20
     # round-1 fallback before any measured page sizes exist
     est_page_bytes: int = 8192
     # Cache the fat (html) fetch result between branches. True trades
@@ -229,13 +242,20 @@ class CrawlEngine:
         """Set spark.sql.shuffle.partitions for this round from the
         predicted data volume. Returns the setting (None = left as-is).
 
-        The volume-derived count is quantized UP to a multiple of the
-        scheduler's parallelism: a count like 12 on an 8-thread
-        scheduler runs a second task wave half-empty (4 busy / 4 idle
-        threads) while a 2-thread scheduler is unaffected — exactly the
-        asymmetry that collapses N→4N scaling efficiency (BENCH_r03
-        0.391; quantization restored the gate). Never shrinks below the
-        parallelism; capped by max_shuffle_partitions."""
+        Three rules compose (each measured, see CrawlConfig fields):
+        1. volume / target_partition_bytes is the base count;
+        2. it is capped at max_task_waves full waves of the scheduler
+           (per-task Python-stage overhead beats partition-size relief
+           once partitions are spill-safe), but never capped so hard
+           that partitions exceed spill_guard_partition_bytes — beyond
+           the guard the count rises with volume again;
+        3. the result is quantized UP to a multiple of the scheduler's
+           parallelism: a count like 12 on an 8-thread scheduler runs
+           a second task wave half-empty (4 busy / 4 idle) while a
+           2-thread scheduler is unaffected — exactly the asymmetry
+           that collapsed N→4N scaling to 0.391 in BENCH_r03.
+        Never shrinks below the parallelism; capped by
+        max_shuffle_partitions."""
         cfg = self.cfg
         if not cfg.auto_shuffle_partitions or pred_batch <= 0:
             return None
@@ -243,7 +263,9 @@ class CrawlEngine:
 
         est = pred_batch * max(avg_page_bytes, 1.0) * cfg.shuffle_row_expansion
         base = self.spark.sparkContext.defaultParallelism
-        raw = max(1, math.ceil(est / cfg.target_partition_bytes))
+        by_target = max(1, math.ceil(est / cfg.target_partition_bytes))
+        by_guard = max(1, math.ceil(est / cfg.spill_guard_partition_bytes))
+        raw = max(min(by_target, cfg.max_task_waves * base), by_guard)
         parts = min(
             cfg.max_shuffle_partitions,
             math.ceil(raw / base) * base,

@@ -423,10 +423,18 @@ def test_data_proportional_shuffle_sizing(spark, tmp_path):
     import math
 
     try:
-        # 494k pages × 7 KB × 3 / 128 MiB = ceil(77.2) = 78 (the sf1
-        # case), quantized UP to a full task wave of the scheduler
+        # the sf1 case: 494k pages × 7 KB × 3 ≈ 10.4 GB → 78 by the
+        # 128 MiB target, capped at max_task_waves full waves (per-task
+        # Python-stage overhead measurably beats partition-size relief,
+        # BENCH/sf1_ab_r4.jsonl), floored by the 512 MiB spill guard,
+        # then quantized UP to a full task wave of the scheduler
+        est = 493_540 * 7000.0 * 3
         parts = eng._size_shuffle(493_540, 7000.0)
-        assert parts == math.ceil(78 / base) * base, parts
+        expect_raw = max(
+            min(math.ceil(est / (128 << 20)), 8 * base),
+            math.ceil(est / (512 << 20)),
+        )
+        assert parts == math.ceil(expect_raw / base) * base, parts
         assert parts % base == 0
         assert spark.conf.get("spark.sql.shuffle.partitions") == str(parts)
         # small rounds never shrink below scheduler parallelism
@@ -438,6 +446,14 @@ def test_data_proportional_shuffle_sizing(spark, tmp_path):
         raw_12_bytes = 12 * (128 << 20)  # raw count exactly 12
         parts = eng._size_shuffle(raw_12_bytes // (7000 * 3) + 1, 7000.0)
         assert parts % base == 0, parts
+        # beyond the spill guard the count RISES with volume again: a
+        # round whose waves-capped partitions would exceed 512 MiB must
+        # fan back out (the 100 TB case never collapses onto 8×cores)
+        huge = 10_000_000  # pages → est 210 GB
+        parts = eng._size_shuffle(huge, 7000.0)
+        est_huge = huge * 7000.0 * 3
+        assert parts >= math.ceil(est_huge / (512 << 20)), parts
+        assert parts % base == 0
         # disabled / empty prediction leaves the conf alone
         eng.cfg = CrawlConfig(state_dir=str(tmp_path), auto_shuffle_partitions=False)
         assert eng._size_shuffle(10_000_000, 7000.0) is None
