@@ -1040,6 +1040,120 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank over a deterministic link graph derived from documents
+    rows (the canonical consumer query over the link_rels sink — the
+    reference's domain is a search engine). 100 nodes, 3 out-links per
+    non-dangling node ((src*7 + j*13) % 100), nodes divisible by 10
+    dangling so the mass-conserving redistribution path is exercised;
+    5 power iterations, damping 0.85, mirrored iteration-for-iteration
+    by the unrolled DuckDB oracle."""
+    from notjusthtml_searchengine_spark.operators.graph import pagerank
+
+    srcs = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 10 != 0))
+        .select(F.col("doc_id").alias("src"))
+    )
+    edges = (
+        srcs.select(
+            "src",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % 100).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    return pagerank(edges, n_iter=5, damping=0.85, round_to=6)
+
+
+def _sql_pagerank(n_iter: int = 5, damping: float = 0.85) -> str:
+    """DuckDB mirror of q_pagerank: identical edge generation, the
+    same power iteration unrolled n_iter times (dangling mass as a
+    scalar subquery, exactly the operator's broadcast cross join)."""
+    head = f"""
+WITH edges AS (
+  SELECT d.doc_id AS src, (d.doc_id*7 + js.j*13) % 100 AS dst
+  FROM (SELECT doc_id FROM documents WHERE doc_id < 100 AND doc_id % 10 <> 0) d
+  CROSS JOIN (SELECT unnest([1,2,3]) AS j) js
+  WHERE (d.doc_id*7 + js.j*13) % 100 <> d.doc_id
+),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM edges GROUP BY src),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+r0 AS (SELECT verts.v, 1.0/nn.n AS rank FROM verts CROSS JOIN nn)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        its.append(
+            f""",
+d{k} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm
+  FROM {p} r LEFT JOIN deg ON r.v = deg.v WHERE deg.v IS NULL),
+c{k} AS (SELECT e.dst AS v, sum(r.rank / deg.d) AS contrib
+  FROM edges e JOIN {p} r ON e.src = r.v JOIN deg ON deg.v = e.src
+  GROUP BY e.dst),
+r{k} AS (SELECT verts.v,
+  (1.0 - {damping})/nn.n + {damping} * (coalesce(c{k}.contrib, 0.0) + d{k}.dm/nn.n) AS rank
+  FROM verts CROSS JOIN nn CROSS JOIN d{k}
+  LEFT JOIN c{k} ON verts.v = c{k}.v)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"\nSELECT v AS vertex, round(rank, 6) AS rank FROM r{n_iter}"
+    )
+
+
+SQL_PAGERANK = _sql_pagerank()
+
+
+def q_connected_components(spark, sf_dir):
+    """Connected components (min-label propagation) over a
+    deterministic graph from documents rows: 20 path components of 5
+    nodes each (edges doc_id→doc_id+1 within each doc_id//5 block),
+    6 iterations > the diameter (4), so labels are exact — mirrored
+    iteration-for-iteration by the unrolled DuckDB oracle."""
+    from notjusthtml_searchengine_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = (
+        _t(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 100) & (F.col("doc_id") % 5 != 4))
+        .select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") + 1).alias("dst")
+        )
+    )
+    return connected_components(edges, n_iter=6)
+
+
+def _sql_connected_components(n_iter: int = 6) -> str:
+    head = """
+WITH edges AS (
+  SELECT doc_id AS src, doc_id + 1 AS dst FROM documents
+  WHERE doc_id < 100 AND doc_id % 5 <> 4),
+sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges)),
+l0 AS (SELECT v, v AS component FROM verts)"""
+    its = []
+    for k in range(1, n_iter + 1):
+        p = f"l{k - 1}"
+        its.append(
+            f""",
+n{k} AS (SELECT s.dst AS v, min(r.component) AS nc
+  FROM sym s JOIN {p} r ON s.src = r.v GROUP BY s.dst),
+l{k} AS (SELECT {p}.v, least({p}.component, coalesce(n{k}.nc, {p}.component)) AS component
+  FROM {p} LEFT JOIN n{k} ON {p}.v = n{k}.v)"""
+        )
+    return (
+        head
+        + "".join(its)
+        + f"\nSELECT v AS vertex, component FROM l{n_iter}"
+    )
+
+
+SQL_CONNECTED_COMPONENTS = _sql_connected_components()
+
+
 def q_crawl_visible_text_restricted(spark, sf_dir):
     """U2 with a RESTRICTED DuckDB oracle: construct well-formed HTML
     bodies from documents rows (single text node, no entities — the
@@ -1582,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
         "crawl_visible_text_restricted": q_crawl_visible_text_restricted,
+        "pagerank": q_pagerank,
+        "connected_components": q_connected_components,
         "content_sniff": q_content_sniff,
         "content_sniff_magic": q_content_sniff_magic,
         "url_canonicalize": q_url_canonicalize,
@@ -1640,5 +1756,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": SQL_URL_CANON,
         "robots_parse": SQL_ROBOTS_PARSE,
         "crawl_visible_text_restricted": SQL_VISIBLE_TEXT_RESTRICTED,
+        "pagerank": SQL_PAGERANK,
+        "connected_components": SQL_CONNECTED_COMPONENTS,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }

@@ -46,19 +46,32 @@ def main() -> None:
     # query mode (consumer catalog over an existing state dir):
     ap.add_argument("--search-keyword", default=None, metavar="TERM",
                     help="skip crawling; keyword-search the state dir")
+    ap.add_argument("--top-pages", action="store_true",
+                    help="rank crawled pages by PageRank over link_rels")
     ap.add_argument("--match-phash", type=int, default=None, metavar="HASH",
                     help="skip crawling; find images near this pHash")
     ap.add_argument("--limit", type=int, default=20)
     args = ap.parse_args()
 
-    if args.search_keyword is not None or args.match_phash is not None:
-        from .plans.catalog import keyword_search, register_sinks, similar_images
+    if (
+        args.search_keyword is not None
+        or args.match_phash is not None
+        or args.top_pages
+    ):
+        from .plans.catalog import (
+            keyword_search,
+            register_sinks,
+            similar_images,
+            top_pages,
+        )
 
         spark = get_spark(app_name="njh-query", master=args.master)
         spark.sparkContext.setLogLevel("ERROR")
         register_sinks(spark, args.state)
         if args.search_keyword is not None:
             rows = keyword_search(spark, args.search_keyword, limit=args.limit).collect()
+        elif args.top_pages:
+            rows = top_pages(spark, k=args.limit).collect()
         else:
             rows = similar_images(spark, args.match_phash).limit(args.limit).collect()
         for r in rows:

@@ -86,6 +86,36 @@ def keyword_search(
     )
 
 
+def top_pages(
+    spark: SparkSession, k: int = 20, n_iter: int = 10, prefix: str = ""
+) -> DataFrame:
+    """PageRank over the crawled link graph (link_rels sink) → the k
+    highest-authority pages with their rank. The canonical search-
+    engine ranking signal the reference stores the graph for but
+    never computes; operator in operators/graph.py (iterative
+    DataFrame loop, oracle-checked as q:pagerank)."""
+    from ..operators.graph import pagerank
+
+    rels = spark.table(f"{prefix}link_rels")
+    edges = rels.select(
+        F.col("origin_id").alias("src"), F.col("dest_id").alias("dst")
+    ).distinct()
+    ranks = pagerank(edges, n_iter=n_iter, persist_each=True)
+    names = (
+        rels.select(F.col("origin_id").alias("vertex"), F.col("origin_url").alias("url"))
+        .unionByName(
+            rels.select(F.col("dest_id").alias("vertex"), F.col("dest_url").alias("url"))
+        )
+        .distinct()
+    )
+    return (
+        ranks.join(names, "vertex")
+        .select("url", F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("url"))
+        .limit(k)
+    )
+
+
 def similar_images(
     spark: SparkSession, phash: int, max_hamming: int = 8, prefix: str = ""
 ) -> DataFrame:

@@ -86,3 +86,19 @@ def test_similar_images_and_face_match(spark, crawled_state):
     got = match_faces(spark, list(face["descriptor"]), k=3, max_distance=None).collect()
     assert got[0]["content_id"] == face["content_id"]  # self is nearest
     assert got[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_top_pages_pagerank_over_crawl(spark, crawled_state):
+    from notjusthtml_searchengine_spark.plans.catalog import top_pages
+
+    register_sinks(spark, crawled_state)
+    out = top_pages(spark, k=10, n_iter=5).collect()
+    assert 0 < len(out) <= 10
+    ranks = [r["rank"] for r in out]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["rank"] > 0 for r in out)
+    assert all(r["url"].startswith("http") for r in out)
+    # the top page must be one with inbound links in the crawled graph
+    rels = spark.table("link_rels")
+    dests = {r["dest_url"] for r in rels.select("dest_url").distinct().collect()}
+    assert out[0]["url"] in dests
