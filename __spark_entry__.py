@@ -789,6 +789,93 @@ SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE
 """
 
 
+def q_ann_ivf_kmeans(spark, sf_dir):
+    """IVF-Flat with TRAINED centroids: 2 exact-integer Lloyd
+    iterations (rational sum-vector centroids — cosine is scale-
+    invariant, so even training is oracle-checkable with no float-
+    summation-order divergence) from the deterministic pivot init,
+    then the standard nprobe bucket probe. Upgrades the documented
+    "k-means slots in here" gap of q_ann_ivf_topk to a real trained
+    index, still hash-checked end-to-end."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    cents = kmeans_centroids(emb, k=8, n_iter=2)
+    return ivf_topk(emb, queries, k=5, nprobe=2, cents=cents)
+
+
+def _sql_ann_ivf_kmeans(k: int = 8, n_iter: int = 2) -> str:
+    """DuckDB mirror of kmeans_centroids + ivf_topk: identical pivot
+    init, the same Lloyd iterations unrolled (assignment by rounded
+    cosine with lowest-cid tie-break; per-cluster element-wise bigint
+    sums; empty clusters keep the previous centroid), then the same
+    probe/rank tail as SQL_ANN_IVF against the trained centroids."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
+    )
+    its = []
+    for i in range(1, n_iter + 1):
+        p = f"c{i - 1}"
+        its.append(
+            f""",
+a{i} AS (
+  SELECT vec_id, vq, cid FROM (
+    SELECT e.vec_id, e.vq, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.vq', b='c.cv')} DESC, c.cid) AS rk
+    FROM e CROSS JOIN {p} c) t
+  WHERE rk = 1),
+s{i} AS (
+  SELECT cid, list(s ORDER BY pos) AS new_cv
+  FROM (
+    SELECT cid, pos, CAST(sum(val) AS BIGINT) AS s
+    FROM (SELECT cid, generate_subscripts(vq, 1) AS pos, unnest(vq) AS val FROM a{i}) u
+    GROUP BY cid, pos) g
+  GROUP BY cid),
+c{i} AS (SELECT c.cid, coalesce(s{i}.new_cv, c.cv) AS cv
+  FROM {p} c LEFT JOIN s{i} ON c.cid = s{i}.cid)"""
+        )
+    last = f"c{n_iter}"
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(round(x*1000) AS BIGINT)) AS vq
+           FROM embeddings),
+c0 AS (SELECT CAST(vec_id AS BIGINT) AS cid, vq AS cv FROM e WHERE vec_id < {k}){''.join(its)},
+assign AS (
+  SELECT vec_id, vq, cid FROM (
+    SELECT e.vec_id, e.vq, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {cos.format(a='e.vq', b='c.cv')} DESC, c.cid) AS rk
+    FROM e CROSS JOIN {last} c) t
+  WHERE rk = 1),
+q AS (SELECT vec_id AS qid, vq AS qq FROM e WHERE vec_id < 3),
+probes AS (
+  SELECT qid, qq, cid FROM (
+    SELECT q.qid, q.qq, c.cid,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY {cos.format(a='q.qq', b='c.cv')} DESC, c.cid) AS rk
+    FROM q CROSS JOIN {last} c) t
+  WHERE rk <= 2),
+scored AS (
+  SELECT p.qid, a.vec_id,
+         {cos.format(a='a.vq', b='p.qq')} AS cosine
+  FROM assign a JOIN probes p USING (cid) WHERE a.vec_id <> p.qid),
+r AS (SELECT qid, vec_id, cosine,
+             row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored)
+SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 5
+"""
+
+
+SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact (brute) variant."""
     from notjusthtml_searchengine_spark.operators.similarity import (
@@ -1683,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans": q_ann_ivf_kmeans,
         "ann_recall": q_ann_recall,
         "ann_probe_cost": q_ann_probe_cost,
         "embedding_neardup": q_embedding_neardup,
@@ -1743,6 +1831,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": SQL_ANN_LSH,
         "ann_lsh_multiprobe": SQL_ANN_LSH_MP,
         "ann_ivf_topk": SQL_ANN_IVF,
+        "ann_ivf_kmeans": SQL_ANN_IVF_KMEANS,
         "ann_recall": SQL_ANN_RECALL,
         "ann_probe_cost": SQL_ANN_PROBE_COST,
         "embedding_neardup": SQL_EMB_NEARDUP,

@@ -209,6 +209,66 @@ def lsh_probe_stats(
     )
 
 
+def kmeans_centroids(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over quantized vectors → (cid, cv) centroids —
+    with EXACT integer arithmetic end-to-end, so even the TRAINING is
+    DuckDB-oracle-checkable (no float-summation-order divergence):
+
+    the centroid is kept as the UNNORMALIZED element-wise member SUM
+    (a rational centroid — cosine is scale-invariant, so ranking
+    against sum(members) equals ranking against mean(members), and
+    every dot/norm stays an exact bigint sum). Init = the k lowest-id
+    vectors (deterministic, no RNG); assignment ties break to the
+    lowest cid; a cluster that loses all members keeps its previous
+    centroid. Returns cv as array<bigint> usable directly by
+    ivf_topk(cents=...).
+
+    Scale notes: assignment is a broadcast join (k rows) over the full
+    scan — the same shape as ivf_topk's assignment; the update is a
+    posexplode + two-level groupBy (dim × N rows through one shuffle).
+    At 10^9 vectors swap the update for an applyInPandas partial-sum
+    (numpy column sums per partition, then a k×dim reduce) and the
+    init for k-means|| oversampling — the shapes downstream are
+    unchanged. Lazy (no driver actions in construction); n_iter is
+    small and the plan grows linearly (each iteration references the
+    previous centroids once)."""
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    cents = e.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("bigint").alias("cid"), F.col("vq").alias("cv")
+    )
+    for _ in range(n_iter):
+        w = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cid"))
+        assigned = (
+            e.join(F.broadcast(cents))
+            .withColumn("c_cos", cosine_q(F.col("vq"), F.col("cv")))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("cid", "vq")
+        )
+        sums = (
+            assigned.select("cid", F.posexplode("vq").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                    lambda x: x["s"],
+                ).alias("new_cv")
+            )
+        )
+        cents = cents.join(sums, "cid", "left").select(
+            "cid", F.coalesce(F.col("new_cv"), F.col("cv")).alias("cv")
+        )
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -217,6 +277,7 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-Flat approximate top-k: coarse-quantize every vector to its
     nearest centroid (the inverted-file bucket), then each query
@@ -233,11 +294,16 @@ def ivf_topk(
 
     Scale shape: assignment is one broadcast join (C rows) over the
     full scan; the probe joins the (small) query×nprobe list against
-    the index on centroid_id — bucket-partitioned, no all-pairs."""
+    the index on centroid_id — bucket-partitioned, no all-pairs.
+
+    ``cents`` overrides the pivot centroids with a trained table
+    (cid, cv) — e.g. ``kmeans_centroids`` (exact-integer Lloyd
+    iterations, still oracle-checkable)."""
     e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
-    cents = e.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"), F.col("vq").alias("cv")
-    )
+    if cents is None:
+        cents = e.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).cast("bigint").alias("cid"), F.col("vq").alias("cv")
+        )
     w_assign = Window.partitionBy(id_col).orderBy(
         F.desc("c_cos"), F.asc("cid")
     )

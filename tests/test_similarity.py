@@ -187,6 +187,87 @@ def test_multiprobe_dial_monotone_at_8_planes(spark):
     assert all(a < b for a, b in zip(costs, costs[1:])), costs
 
 
+def test_kmeans_separates_planted_clusters(spark):
+    """Two tight planted clusters → after 3 exact-integer Lloyd
+    iterations every member is assigned to the same centroid as its
+    clustermates, and the two clusters land on different centroids."""
+    import random
+
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        cosine_q,
+        kmeans_centroids,
+        quantized,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    a = [1.0] * 8 + [0.0] * 8
+    b = [0.0] * 8 + [1.0] * 8
+    for i in range(20):
+        base = a if i % 2 == 0 else b
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in base]))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_centroids(e, k=2, n_iter=3)
+    assigned = (
+        e.select(F.col("vec_id"), quantized(F.col("embedding")).alias("vq"))
+        .join(F.broadcast(cents))
+        .withColumn("c", cosine_q(F.col("vq"), F.col("cv")))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c"), F.asc("cid"))
+    top = (
+        assigned.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "cid")
+        .collect()
+    )
+    groups: dict[int, set] = {}
+    for r in top:
+        groups.setdefault(r["vec_id"] % 2, set()).add(r["cid"])
+    assert len(groups[0]) == 1 and len(groups[1]) == 1
+    assert groups[0] != groups[1]
+
+
+def test_kmeans_empty_cluster_keeps_init(spark):
+    """A centroid that attracts no members must keep its previous
+    (init) vector instead of vanishing — k=3 over 2 planted clusters
+    still returns 3 centroid rows."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rows = [(i, ([1.0] * 8 if i != 2 else [-1.0] * 8)) for i in range(12)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_centroids(e, k=3, n_iter=2).collect()
+    assert len(cents) == 3
+    assert all(r["cv"] is not None and len(r["cv"]) == 8 for r in cents)
+
+
+def test_kmeans_ivf_recall_floor(spark):
+    """IVF over k-means-trained centroids keeps a recall@5 floor on
+    the sf0.001 embeddings (nprobe=2/8; exact value oracle-checked by
+    the driver as ann_ivf_kmeans)."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        brute_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb8 = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb8.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = {(r["qid"], r["neighbor_id"]) for r in brute_topk(emb8, qs, k=5).collect()}
+    km = {
+        (r["qid"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb8, qs, k=5, nprobe=2, cents=kmeans_centroids(emb8, k=8, n_iter=2)
+        ).collect()
+    }
+    assert len(truth & km) / len(truth) >= 0.6
+
+
 def test_lsh_probe_stats_validation(spark, emb):
     from notjusthtml_searchengine_spark.operators.similarity import lsh_probe_stats
 
