@@ -1127,6 +1127,25 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """Real BPE tokenization with a tokenizer TRAINED on the corpus
+    itself (operators/bpe.py): 12 merges learned from the documents
+    sample (iterative Spark aggregation — corpus collapses once to a
+    word-frequency table, every round is vocabulary-sized), then an
+    Arrow-batched encode. Genuinely non-SQL (data-dependent iterative
+    training) — equivalence with a pure-Python reference trainer is
+    pinned in tests/test_bpe.py instead of a DuckDB oracle."""
+    from notjusthtml_searchengine_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+    merges = bpe_train(docs, n_merges=12)
+    return bpe_encode(docs, merges).select("doc_id", "n_tokens")
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank over a deterministic link graph derived from documents
     rows (the canonical consumer query over the link_rels sink — the
@@ -1785,6 +1804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visible_text": q_crawl_visible_text,
         "crawl_visible_text_restricted": q_crawl_visible_text_restricted,
         "pagerank": q_pagerank,
+        "bpe_token_count": q_bpe_token_count,
         "connected_components": q_connected_components,
         "content_sniff": q_content_sniff,
         "content_sniff_magic": q_content_sniff_magic,
