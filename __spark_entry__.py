@@ -1127,6 +1127,51 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_split_by_hash(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by portable hash
+    bucket of doc_id — stable under reruns, appends, cluster size and
+    engine; the oracle re-derives every row's assignment."""
+    from notjusthtml_searchengine_spark.operators.sampling import split_by_hash
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return split_by_hash(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+
+SQL_SPLIT_BY_HASH = """
+SELECT doc_id,
+       CASE WHEN b < 8000 THEN 'train'
+            WHEN b < 9000 THEN 'val'
+            WHEN b < 10000 THEN 'test' END AS split
+FROM (SELECT doc_id,
+             CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 AS b
+      FROM documents)
+"""
+
+
+def q_stratified_cap(spark, sf_dir):
+    """Per-stratum corpus balancing: at most 20 documents per lang,
+    selected deterministically by hash order (not scan order, which
+    is nondeterministic under parallelism) — same window shape as the
+    crawler's per-host politeness cap."""
+    from notjusthtml_searchengine_spark.operators.sampling import stratified_cap
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_cap(docs, strata_col="lang", cap=20, key_col="doc_id")
+
+
+SQL_STRATIFIED_CAP = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY
+           CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000,
+           doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+"""
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Real BPE tokenization with a tokenizer TRAINED on the corpus
     itself (operators/bpe.py): 12 merges learned from the documents
@@ -1805,6 +1850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_visible_text_restricted": q_crawl_visible_text_restricted,
         "pagerank": q_pagerank,
         "bpe_token_count": q_bpe_token_count,
+        "split_by_hash": q_split_by_hash,
+        "stratified_cap": q_stratified_cap,
         "connected_components": q_connected_components,
         "content_sniff": q_content_sniff,
         "content_sniff_magic": q_content_sniff_magic,
@@ -1867,5 +1914,7 @@ def oracle_sql() -> dict[str, str]:
         "crawl_visible_text_restricted": SQL_VISIBLE_TEXT_RESTRICTED,
         "pagerank": SQL_PAGERANK,
         "connected_components": SQL_CONNECTED_COMPONENTS,
+        "split_by_hash": SQL_SPLIT_BY_HASH,
+        "stratified_cap": SQL_STRATIFIED_CAP,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }

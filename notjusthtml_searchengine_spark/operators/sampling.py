@@ -1,0 +1,84 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+A training corpus needs reproducible train/val/test splits and
+per-source balancing ("no domain may exceed N documents") that give
+the SAME answer on every run, cluster size, and engine — so both
+operators key on a portable content hash, not RNG:
+
+  * ``split_by_hash`` — assign each row to a named split by a hash
+    bucket of its key: stable under reruns, appends (old rows never
+    change split — critical once a model has trained on them), and
+    engine (the DuckDB oracle re-derives the same assignment).
+  * ``stratified_cap`` — at most ``cap`` rows per stratum, chosen by
+    hash order (not "first seen", which is nondeterministic under
+    parallel scan). The per-stratum window is the same shape as the
+    crawler's politeness cap (W2); skewed strata are bounded by
+    definition of the operator.
+
+Both are pure Catalyst expressions — no Python, no RNG state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .textops import portable_hash64
+
+#: hash-space resolution for split fractions (1 bp = 0.01%)
+_BUCKETS = 10_000
+
+
+def split_bucket(key: Column) -> Column:
+    """Stable bucket in [0, _BUCKETS) from the portable hash of the
+    key's string form (portable: same value in DuckDB via md5)."""
+    return F.pmod(portable_hash64(key.cast("string")), F.lit(_BUCKETS))
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    fractions: dict[str, float],
+    split_col: str = "split",
+) -> DataFrame:
+    """Adds ``split_col`` ∈ fractions.keys() by hash bucket ranges.
+
+    Fractions must sum to ≤ 1.0 (any remainder is NULL — rows held
+    out of every split). Assignment is by consecutive bucket ranges
+    in the given dict order, so the mapping is part of the contract:
+    pass an ordered dict."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = split_bucket(F.col(key_col))
+    expr = F.lit(None).cast("string")
+    lo = 0
+    cases = []
+    for name, frac in fractions.items():
+        hi = lo + int(round(frac * _BUCKETS))
+        cases.append((name, lo, hi))
+        lo = hi
+    for name, lo_, hi_ in reversed(cases):
+        expr = F.when((b >= lo_) & (b < hi_), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_cap(
+    df: DataFrame,
+    strata_col: str,
+    cap: int,
+    key_col: str,
+) -> DataFrame:
+    """At most ``cap`` rows per stratum, selected deterministically by
+    (hash(key), key) order within the stratum."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        split_bucket(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
