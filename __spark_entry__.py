@@ -1127,6 +1127,49 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_count_min_user_freq(spark, sf_dir):
+    """Count-min sketch frequency estimation over the events stream
+    (width 256 × depth 3 — bounded state regardless of key
+    cardinality), probed for the low-id users, with the exact count
+    alongside so the one-sided overestimate is visible. The sketch
+    uses portable hashes, so counters AND estimates are re-derived
+    exactly by the DuckDB oracle."""
+    from notjusthtml_searchengine_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    counters = count_min_build(ev, "user_id", width=256, depth=3)
+    probes = ev.filter(F.col("user_id") < 20)
+    est = count_min_estimate(counters, probes, "user_id", width=256, depth=3)
+    exact = probes.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return est.join(exact, "user_id").select("user_id", "est", "n_exact")
+
+
+SQL_COUNT_MIN = """
+WITH rowsrc AS (SELECT unnest([0, 1, 2]) AS row),
+pairs AS (
+  SELECT r.row,
+         CAST('0x'||substr(md5(CAST(r.row AS VARCHAR)||':'||CAST(e.user_id AS VARCHAR)),1,15) AS BIGINT) % 256 AS bucket
+  FROM events e CROSS JOIN rowsrc r),
+counters AS (SELECT row, bucket, count(*) AS c FROM pairs GROUP BY row, bucket),
+qk AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+probes AS (
+  SELECT qk.user_id, r.row,
+         CAST('0x'||substr(md5(CAST(r.row AS VARCHAR)||':'||CAST(qk.user_id AS VARCHAR)),1,15) AS BIGINT) % 256 AS bucket
+  FROM qk CROSS JOIN rowsrc r),
+est AS (
+  SELECT p.user_id, CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est
+  FROM probes p LEFT JOIN counters c USING (row, bucket)
+  GROUP BY p.user_id),
+exact AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_exact
+          FROM events WHERE user_id < 20 GROUP BY user_id)
+SELECT est.user_id, est.est, exact.n_exact
+FROM est JOIN exact USING (user_id)
+"""
+
+
 def q_split_by_hash(spark, sf_dir):
     """Deterministic train/val/test split (80/10/10) by portable hash
     bucket of doc_id — stable under reruns, appends, cluster size and
@@ -1851,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "bpe_token_count": q_bpe_token_count,
         "split_by_hash": q_split_by_hash,
+        "count_min_user_freq": q_count_min_user_freq,
         "stratified_cap": q_stratified_cap,
         "connected_components": q_connected_components,
         "content_sniff": q_content_sniff,
@@ -1915,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": SQL_PAGERANK,
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "split_by_hash": SQL_SPLIT_BY_HASH,
+        "count_min_user_freq": SQL_COUNT_MIN,
         "stratified_cap": SQL_STRATIFIED_CAP,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }
