@@ -1127,6 +1127,43 @@ def q_crawl_visible_text(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 full-text ranking over the documents corpus for a fixed
+    query — the canonical search-engine scoring the reference's
+    keyword search approximates with link ratings. One corpus scan
+    (tf restricted to the broadcast term list), corpus stats as a
+    broadcast scalar aggregate, Lucene-form idf; fully re-derived by
+    the DuckDB oracle."""
+    from notjusthtml_searchengine_spark.operators.textops import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, terms=["spark", "scan", "merge"])
+
+
+SQL_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')) AS term
+  FROM documents),
+dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS dl
+  FROM documents),
+stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM toks WHERE term IN ('spark', 'scan', 'merge') GROUP BY doc_id, term),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS ts
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s)
+SELECT doc_id, round(sum(ts), 4) AS score, CAST(count(*) AS BIGINT) AS n_terms
+FROM scored GROUP BY doc_id
+"""
+
+
 def q_count_min_user_freq(spark, sf_dir):
     """Count-min sketch frequency estimation over the events stream
     (width 256 × depth 3 — bounded state regardless of key
@@ -1895,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_token_count,
         "split_by_hash": q_split_by_hash,
         "count_min_user_freq": q_count_min_user_freq,
+        "bm25_search": q_bm25_search,
         "stratified_cap": q_stratified_cap,
         "connected_components": q_connected_components,
         "content_sniff": q_content_sniff,
@@ -1960,6 +1998,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components": SQL_CONNECTED_COMPONENTS,
         "split_by_hash": SQL_SPLIT_BY_HASH,
         "count_min_user_freq": SQL_COUNT_MIN,
+        "bm25_search": SQL_BM25,
         "stratified_cap": SQL_STRATIFIED_CAP,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
     }

@@ -150,3 +150,71 @@ def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of whitespace-normalized lowercased
     text (content-defined identity for exact/near-exact dedup)."""
     return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranking (Robertson/Spärck Jones; Lucene's non-negative
+    idf form ``ln(1 + (N - df + 0.5)/(df + 0.5))``) of every document
+    matching any query term → (id_col, score, n_terms).
+
+    Spark-first shape: one explode+groupBy computes per-(doc, term)
+    tf restricted to the BROADCAST query-term list (the corpus is
+    scanned once; no |docs|×|terms| blowup); N and avgdl ride along
+    as a broadcast single-row aggregate (no driver action — the ANN
+    explicit-dim rule); df is a broadcast-sized per-term aggregate.
+    Score is rounded to 4 decimals so the DuckDB oracle's ln/double
+    arithmetic compares stably."""
+    tdf = docs.sparkSession.createDataFrame([(t,) for t in terms], "term string")
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    dl = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).alias("dl")
+    )
+    stats = F.broadcast(
+        dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("dl").alias("avgdl"),
+        )
+    )
+    tf = (
+        toks.join(F.broadcast(tdf), "term")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, id_col)
+        .crossJoin(stats)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "term_score",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum("term_score"), 4).alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
