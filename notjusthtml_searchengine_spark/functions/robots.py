@@ -15,18 +15,20 @@ Parser follows RFC 9309 (Robots Exclusion Protocol):
     milliseconds;
   * comments (#) and blank lines per spec; unknown directives ignored.
 
-The engine's filter matches PREFIXES (startswith) with RFC 9309
-longest-match precedence (the longest matching rule wins; allow wins
-ties). Wildcard handling is conservative in the SAFE direction only:
-a Disallow pattern is stored VERBATIM — the filter matches the text
-before its first '*' (trailing '$' stripped) but ranks it by the
-ORIGINAL pattern length, so 'Disallow: /foo*' (length 5) still beats
-'Allow: /foo' (length 4) on /foobar exactly as a real longest-match
-parser would; the reduced match-set is a superset, which can only
-OVER-block. An Allow containing '*' or anchored with '$' is DROPPED
-entirely (reducing an Allow would WIDEN it: 'Allow: /*.css' → '/'
-would defeat every Disallow on the host). Empty Disallow ("allow
-all") produces no rule, per spec.
+Patterns are stored VERBATIM; the enforcement side
+(crawl_ops._rule_match) applies EXACT RFC 9309 matching for the
+common shapes — plain prefixes, '$'-anchored literals, and
+single-'*' patterns like '/*.php' or '/a/*/b$' (pre-star fragment by
+startswith, post-star fragment by contains/endswith) — with
+longest-match precedence on the original pattern length (allow wins
+ties). Only multi-'*' patterns (vanishingly rare on the real web)
+degrade to a conservative superset prefix match, and those rank by
+their REDUCED prefix length so a collapsed pattern cannot out-rank
+every real rule and block the whole host. Consequently an Allow is
+dropped only when it has ≥2 '*'s (a superset match would WIDEN an
+allow and defeat Disallows); single-star and anchored Allows are
+kept and matched exactly. Empty Disallow ("allow all") produces no
+rule, per spec.
 
 Vectorized form (`robots_rules`) runs as one mapInPandas over
 (host, body) rows → ROBOTS-schema rows, partitioned like any other
@@ -43,19 +45,19 @@ from .. import schemas
 def _clean_pattern(p: str, allow: bool = False) -> str | None:
     """RFC pattern → stored engine pattern. None = no usable rule.
 
-    Disallow patterns are kept VERBATIM: the enforcement side
-    (crawl_ops._longest_match_len) matches on the text before the
-    first '*' (trailing '$' stripped) but ranks by the ORIGINAL
-    pattern length — truncating here would shorten the stored length
-    and let an equally-long Allow win a tie the real pattern would
-    have beaten (under-block = impolite fetch). Allow rules with '*'
-    or a '$' anchor are dropped instead of reduced (a reduced Allow
-    MATCHES more — e.g. '/*.css' → '/' overrides every Disallow under
-    longest-match)."""
+    Patterns are kept VERBATIM: the enforcement side
+    (crawl_ops._rule_match) matches plain/anchored/single-'*' shapes
+    exactly and ranks by the ORIGINAL pattern length — truncating here
+    would shorten the stored length and let an equally-long Allow win
+    a tie the real pattern would have beaten (under-block = impolite
+    fetch). Only a multi-'*' Allow is dropped: its superset fallback
+    match would WIDEN the allow (e.g. '/*a*' → '/' would override
+    every Disallow under longest-match); single-star and '$'-anchored
+    Allows are matched exactly, so they are safe to keep."""
     p = p.strip()
     if not p:
         return None
-    if allow and ("*" in p or p.endswith("$")):
+    if allow and p.count("*") >= 2:
         return None
     return p
 

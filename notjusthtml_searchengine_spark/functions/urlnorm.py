@@ -87,6 +87,11 @@ def canonicalize(raw: str) -> str | None:
         return None
     if any(c in _BAD_HOST for c in parts.netloc):
         return None
+    # Go's parseHost also unescapes the host (encodeHost mode): an
+    # invalid %-escape in the netloc is a url.Parse ERROR — the
+    # reference drops the link, so must we.
+    if not _valid_escapes(parts.netloc):
+        return None
     path = _go_component(parts.path, _PATH_RAW, _PATH_SAFE)
     frag = _go_component(parts.fragment, _FRAG_RAW, _FRAG_SAFE)
     if path is None or frag is None:
@@ -140,7 +145,10 @@ def host_expr(col):
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    netloc = F.regexp_extract(c, r"^[^:/?#]+://([^/?#]*)", 1)
+    # scheme is OPTIONAL: a scheme-relative reference ('//host/path')
+    # has a netloc too (urlsplit agrees) — requiring 'scheme://' gave
+    # such URLs an empty politeness/robots key (ADVICE r4)
+    netloc = F.regexp_extract(c, r"^(?:[^:/?#]+:)?//([^/?#]*)", 1)
     nouser = F.regexp_replace(netloc, r"^[^/?#]*@", "")
     return F.when(
         nouser.startswith("["), F.regexp_extract(nouser, r"^\[([^\]]*)", 1)
@@ -152,7 +160,7 @@ def path_expr(col):
     from pyspark.sql import functions as F
 
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_extract(c, r"^(?:[^:/?#]+://[^/?#]*)?([^?#]*)", 1)
+    return F.regexp_extract(c, r"^(?:(?:[^:/?#]+:)?//[^/?#]*)?([^?#]*)", 1)
 
 
 def protocol_expr(col):

@@ -13,12 +13,21 @@ Training shape (the part that must scale):
     VOCABULARY, not the corpus (the classic trick that makes BPE
     training tractable at 100 TB: 10^11 tokens → 10^7 distinct
     words).
-  * each merge round is one explode+groupBy over the vocabulary
-    (adjacent symbol pairs weighted by word freq) and one driver-side
-    argmax — a driver loop like any iterative trainer (k-means,
-    PageRank-with-convergence); n_merges scalar actions total.
-  * the merge is applied to the symbol arrays with a JVM
-    ``aggregate`` fold (left-to-right, non-overlapping — the
+  * PRODUCTION path (``bpe_train_sampled``): the (word, freq) table —
+    optionally hash-sampled and/or frequency-truncated to a driver-
+    safe size — is collected ONCE and the merges are learned locally
+    with incrementally-maintained pair counts: ONE Spark job total
+    for any vocabulary size, zero driver round-trips per merge. This
+    is how real tokenizer trainers work at corpus scale (the trainer
+    state is O(vocabulary), never O(corpus)); at fraction=1.0 /
+    max_words=None the result is bit-identical to the exact trainer.
+  * EXACT distributed path (``bpe_train``): each merge round is one
+    explode+groupBy over the vocabulary (adjacent symbol pairs
+    weighted by word freq) and one driver-side argmax. n_merges
+    scalar actions total — fine for modest merge counts, but a real
+    32k-merge vocab = 32k Spark jobs; use the sampled trainer there.
+  * in the exact path the merge is applied to the symbol arrays with
+    a JVM ``aggregate`` fold (left-to-right, non-overlapping — the
     reference greedy application), no Python in the loop; the
     vocabulary frame is localCheckpoint'ed per round so the plan
     never grows.
@@ -114,6 +123,107 @@ def bpe_train(
             "freq", _apply_merge(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint()  # barrier + lineage cut per round
     return merges
+
+
+def bpe_train_local(
+    word_freq: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_freq: int = 2,
+) -> list[tuple[str, str]]:
+    """Exact BPE training over an in-memory (word, freq) table with
+    INCREMENTALLY maintained pair counts — the per-merge cost is
+    proportional to the words containing the merged pair, not the
+    vocabulary. Same argmax + (f desc, a, b) tie-break as
+    ``bpe_train``; at the same input the merge lists are identical
+    (pinned by test_bpe)."""
+    words: list[list[str]] = [list(w) for w, _ in word_freq]
+    freqs: list[int] = [f for _, f in word_freq]
+
+    def pairs_of(syms: list[str]) -> dict[tuple[str, str], int]:
+        out: dict[tuple[str, str], int] = {}
+        for a, b in zip(syms, syms[1:]):
+            out[(a, b)] = out.get((a, b), 0) + 1
+        return out
+
+    counts: dict[tuple[str, str], int] = {}
+    where: dict[tuple[str, str], set[int]] = {}
+    for i, syms in enumerate(words):
+        for p, c in pairs_of(syms).items():
+            counts[p] = counts.get(p, 0) + c * freqs[i]
+            where.setdefault(p, set()).add(i)
+
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        best = None
+        best_f = min_pair_freq - 1
+        for p, f in counts.items():
+            if f > best_f or (f == best_f and best is not None and p < best):
+                best, best_f = p, f
+        if best is None:
+            break
+        a, b = best
+        merges.append(best)
+        for i in sorted(where.get(best, ())):
+            syms = words[i]
+            old = pairs_of(syms)
+            # greedy left-to-right non-overlapping replacement
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[i] = out
+            new = pairs_of(out)
+            for p in old.keys() | new.keys():
+                d = new.get(p, 0) - old.get(p, 0)
+                if d:
+                    c = counts.get(p, 0) + d * freqs[i]
+                    if c > 0:
+                        counts[p] = c
+                    else:
+                        counts.pop(p, None)
+                if new.get(p, 0):
+                    where.setdefault(p, set()).add(i)
+                elif p in where:
+                    where[p].discard(i)
+    return merges
+
+
+def bpe_train_sampled(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+    fraction: float = 1.0,
+    max_words: int | None = None,
+) -> list[tuple[str, str]]:
+    """Corpus-scale trainer: ONE Spark job for any merge count.
+
+    The (word, freq) table is reduced to a driver-safe size —
+    ``fraction`` keeps a deterministic hash-sample of DISTINCT words
+    (per-word frequencies stay exact, so expected pair counts scale
+    uniformly and the argmax sequence is preserved in expectation),
+    and/or ``max_words`` keeps the top words by (freq desc, word)
+    (what production tokenizer trainers do) — then collected once and
+    trained locally with incremental pair counts. At fraction=1.0 and
+    max_words=None this is EXACTLY ``bpe_train`` (one job instead of
+    one per merge). Sizing rule at 100 TB: 10^11 tokens ≈ 10^7-10^8
+    distinct words; fraction/max_words should bound the collect at
+    ~10^6-10^7 rows (a few hundred MB of driver heap)."""
+    from .sampling import _BUCKETS, split_bucket
+
+    wf = word_freqs(docs, text_col)
+    if fraction < 1.0:
+        wf = wf.filter(split_bucket(F.col("word")) < int(fraction * _BUCKETS))
+    if max_words is not None:
+        wf = wf.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+    rows = wf.collect()  # THE one job
+    pairs = sorted(((r["word"], int(r["freq"])) for r in rows))
+    return bpe_train_local(pairs, n_merges, min_pair_freq)
 
 
 def _encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:

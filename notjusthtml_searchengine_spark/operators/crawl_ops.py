@@ -37,11 +37,27 @@ def load_seeds(spark: SparkSession, seeds_path: str) -> DataFrame:
 
 
 def load_flagged_words(spark: SparkSession, csv_path: str) -> DataFrame:
-    """flaggedWords.csv (crawling.go:129-151): lowercased word, int prio."""
-    return (
-        spark.read.csv(csv_path, schema="word string, priority int")
-        .select(F.lower("word").alias("word"), "priority")
+    """flaggedWords.csv (crawling.go:129-151): lowercased word, int prio.
+
+    The reference panics on any row whose second field is not an
+    integer (strconv.Atoi + check(err)) — including a would-be header
+    line. Spark's schema'd CSV read silently NULLs such a priority
+    instead, which used to surface much later as an opaque TypeError
+    inside the rating expression; fail here, loudly, like the
+    reference does (the one row most people hit is a 'word,prio'
+    header)."""
+    df = spark.read.csv(csv_path, schema="word string, priority int").select(
+        F.lower("word").alias("word"), "priority"
     )
+    bad = df.filter(F.col("priority").isNull()).limit(3).collect()
+    if bad:
+        raise ValueError(
+            f"flagged-words CSV {csv_path!r}: non-integer priority in "
+            f"row(s) {[r['word'] for r in bad]} — the file is headerless "
+            "'word,int_priority' lines (reference crawling.go:129-151 "
+            "rejects anything else)"
+        )
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -267,35 +283,72 @@ def _match_prefix(p):
     return F.regexp_replace(F.substring_index(p, "*", 1), r"\$$", "")
 
 
-def _longest_match_len(prefixes, path):
-    """Length of the longest rule pattern matching ``path`` (-1: none).
+def _rule_match(p, path):
+    """Does stored pattern ``p`` match ``path``? EXACT RFC 9309
+    semantics for the overwhelmingly common shapes — plain prefix,
+    '$'-anchored literal, and single-'*' patterns ('/*.php',
+    '/a/*/b$') — via startswith/endswith/contains on the pre-star and
+    post-star fragments; only multi-'*' patterns (vanishingly rare)
+    fall back to the conservative superset prefix match (over-block
+    direction only). All codegen built-ins, no regex per row."""
+    pre = _match_prefix(p)
+    anchored = p.endswith("$")
+    no_star = ~p.contains("*")
+    one_star = F.size(F.split(p, r"\*", -1)) == F.lit(2)
+    tail = F.regexp_replace(F.substring_index(p, "*", -1), r"\$$", "")
+    after_pre = F.substr(path, F.length(pre) + F.lit(1))
+    return (
+        F.when(no_star & anchored, path == pre)
+        .when(no_star, path.startswith(pre))
+        .when(
+            one_star & anchored,
+            path.startswith(pre) & after_pre.endswith(tail),
+        )
+        .when(one_star, path.startswith(pre) & after_pre.contains(tail))
+        .otherwise(path.startswith(pre))
+    )
 
-    Matching uses the reduced prefix (superset of the wildcard's match
-    set — can only over-block); precedence uses the ORIGINAL pattern
-    length, so 'Disallow: /foo*' (5) still beats 'Allow: /foo' (4) on
-    /foobar like a real longest-match parser (robots.py module doc).
-    Pure array built-ins — stays inside whole-stage codegen."""
+
+def _rule_rank(p):
+    """Precedence weight of a matching pattern: ORIGINAL pattern
+    length for shapes matched exactly (longest-match, per RFC 9309
+    §2.2.2 / Google's parser), but only the REDUCED prefix length for
+    multi-'*' superset matches — a '/*a*b'-style pattern whose
+    effective prefix collapses to '/' must not out-rank every real
+    rule and block the whole host (ADVICE r4)."""
+    exact = ~p.contains("*") | (F.size(F.split(p, r"\*", -1)) == F.lit(2))
+    return F.when(exact, F.length(p)).otherwise(F.length(_match_prefix(p)))
+
+
+def _longest_match_len(prefixes, path):
+    """Rank of the highest-precedence rule matching ``path`` (-1:
+    none). Pure array built-ins — stays inside whole-stage codegen."""
     return F.coalesce(
         F.array_max(
             F.transform(
                 F.filter(
                     F.coalesce(prefixes, F.array()),
-                    lambda p: path.startswith(_match_prefix(p)),
+                    lambda p: _rule_match(p, path),
                 ),
-                F.length,
+                _rule_rank,
             )
         ),
         F.lit(-1),
     )
 
 
-def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
-    """cands must carry url_norm + host. Returns allowed rows only.
+def robots_mark(
+    cands: DataFrame, robots: DataFrame, exempt_robots_txt: bool = False
+) -> DataFrame:
+    """cands (url_norm + host) + boolean ``robots_blocked`` column.
 
     RFC 9309 §2.2.2 precedence: the MOST SPECIFIC (longest) matching
     rule wins; an allow wins ties. So a row is blocked iff the longest
     matching disallow prefix is strictly longer than the longest
-    matching allow prefix."""
+    matching allow prefix. One broadcast join (rules are per-host
+    config scale); ``exempt_robots_txt`` keeps /robots.txt itself
+    always fetchable (RFC 9309 §2.3 — the drain-time backstop must
+    not let a 'Disallow: /' host block its own robots refetch)."""
     from ..functions.urlnorm import path_expr
 
     path = path_expr("url_norm")
@@ -307,8 +360,20 @@ def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
     blocked = _longest_match_len(
         F.col("disallow_prefixes"), F.col("_path")
     ) > _longest_match_len(F.col("allow_prefixes"), F.col("_path"))
-    return joined.filter(~F.coalesce(blocked, F.lit(False))).drop(
-        "_path", "allow_prefixes", "disallow_prefixes"
+    if exempt_robots_txt:
+        blocked = blocked & (F.col("_path") != "/robots.txt")
+    return joined.withColumn(
+        "robots_blocked", F.coalesce(blocked, F.lit(False))
+    ).drop("_path", "allow_prefixes", "disallow_prefixes")
+
+
+def robots_filter(cands: DataFrame, robots: DataFrame) -> DataFrame:
+    """cands must carry url_norm + host. Returns allowed rows only
+    (robots_mark's filter form — see it for the precedence rules)."""
+    return (
+        robots_mark(cands, robots)
+        .filter(~F.col("robots_blocked"))
+        .drop("robots_blocked")
     )
 
 

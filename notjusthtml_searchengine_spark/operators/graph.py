@@ -50,12 +50,30 @@ def vertices_of(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") ->
     )
 
 
+#: iteration count above which lineage truncation turns itself on:
+#: the logical plan doubles per iteration (~2^n leaf copies), and
+#: planning alone OOM'd the driver at n=10 — 6 ≈ 64 copies is the
+#: last comfortably-cheap lazy depth
+_AUTO_CHECKPOINT_ITERS = 6
+
+
+def _resolve_persist(persist_each: bool | None, n_iter: int) -> bool:
+    """persist_each=None (the default) auto-enables localCheckpoint
+    beyond _AUTO_CHECKPOINT_ITERS so a caller asking for a deep
+    iteration count cannot hit the 2^n planning blow-up by accident;
+    an explicit True/False is honored as given (False + deep n_iter is
+    for tests that pin the lazy-mode contract)."""
+    if persist_each is None:
+        return n_iter > _AUTO_CHECKPOINT_ITERS
+    return persist_each
+
+
 def connected_components(
     edges: DataFrame,
     n_iter: int,
     src_col: str = "src",
     dst_col: str = "dst",
-    persist_each: bool = False,
+    persist_each: bool | None = None,
 ) -> DataFrame:
     """Connected components by MIN-label propagation → (vertex,
     component), component = the smallest vertex id in the component.
@@ -77,6 +95,7 @@ def connected_components(
             F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
         )
     )
+    persist_each = _resolve_persist(persist_each, n_iter)
     verts = vertices_of(edges, src_col, dst_col)
     labels = verts.select("vertex", F.col("vertex").alias("component"))
     if persist_each:
@@ -106,7 +125,7 @@ def pagerank(
     damping: float = 0.85,
     src_col: str = "src",
     dst_col: str = "dst",
-    persist_each: bool = False,
+    persist_each: bool | None = None,
     round_to: int | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank → (vertex, rank).
@@ -116,6 +135,7 @@ def pagerank(
     one on top). ``round_to`` rounds the final rank for cross-engine
     comparison (the DuckDB oracle mirrors the same unrolled
     iterations)."""
+    persist_each = _resolve_persist(persist_each, n_iter)
     verts = vertices_of(edges, src_col, dst_col)
     deg = out_degrees(edges, src_col)
     n_row = F.broadcast(verts.agg(F.count(F.lit(1)).alias("_n")))

@@ -69,16 +69,35 @@ def stratified_cap(
     strata_col: str,
     cap: int,
     key_col: str,
+    n_salts: int = 64,
 ) -> DataFrame:
     """At most ``cap`` rows per stratum, selected deterministically by
-    (hash(key), key) order within the stratum."""
+    (hash(key), key) order within the stratum.
+
+    TWO-PHASE for skew safety: a single window partitioned by the
+    stratum alone funnels EVERY row of a hot stratum through one task
+    (a 10^9-document domain at 100 TB = one straggler reducer kept
+    alive just to keep ``cap`` rows). Phase 1 takes the per-(stratum,
+    salt) top-``cap`` — the salt is a deterministic hash of the key,
+    so the hot stratum fans out over ``n_salts`` reducers and the
+    phase-1 winners are a guaranteed superset of the global top-cap
+    (any row in the stratum's global top-cap is in the top-cap of its
+    own salt bucket). Phase 2 runs the original stratum window over
+    the ≤ cap × n_salts survivors — bounded input per stratum by
+    construction. Same (hash(key), key) order in both phases ⇒ the
+    result is bit-identical to the single-window form (and to the
+    DuckDB oracle)."""
     if cap < 1:
         raise ValueError("cap must be >= 1")
-    w = Window.partitionBy(strata_col).orderBy(
-        split_bucket(F.col(key_col)), F.col(key_col)
-    )
+    order = (split_bucket(F.col(key_col)), F.col(key_col))
+    salt = F.pmod(portable_hash64(F.col(key_col).cast("string")), F.lit(n_salts))
+    w1 = Window.partitionBy(F.col(strata_col), F.col("_salt")).orderBy(*order)
+    w2 = Window.partitionBy(strata_col).orderBy(*order)
     return (
-        df.withColumn("_rn", F.row_number().over(w))
+        df.withColumn("_salt", salt)
+        .withColumn("_rn", F.row_number().over(w1))
         .filter(F.col("_rn") <= cap)
-        .drop("_rn")
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn", "_salt")
     )

@@ -153,10 +153,26 @@ class CrawlEngine:
         # the sink layout — see iceberg_state module doc).
         backend = cfg.extra.get("state_backend", "parquet")
         if backend == "iceberg":
+            import warnings
+
             from .iceberg_state import IcebergCrawlState
 
             self.iceberg = IcebergCrawlState(spark, cfg.state_dir)
             self.iceberg.create_state_tables(cfg.n_buckets)
+            # PROVISION-ONLY today (ADVICE r4): the tables, MERGE/expire
+            # SQL and round-tag surface are created and unit-pinned, but
+            # the round loop below still reads/writes frontier/seen/
+            # drained through the parquet CrawlState — the flag does NOT
+            # yet deliver atomic multi-table commits or snapshot GC.
+            # Warn loudly so a cluster operator doesn't assume otherwise.
+            warnings.warn(
+                "state_backend='iceberg' is provision-only: state tables "
+                "are created in the catalog but per-round state I/O still "
+                "uses the parquet CrawlState (see iceberg_state module "
+                "doc); atomic snapshot commits/GC are not yet routed",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         elif backend != "parquet":
             raise ValueError(f"unknown state_backend {backend!r}")
         else:
@@ -195,9 +211,45 @@ class CrawlEngine:
             .withColumn("round_added", F.lit(0))
             .withColumn("url_hash", F.xxhash64("url_norm"))
         )
+        if self.cfg.fetch_robots_txt:
+            # Pre-enqueue each seed host's robots.txt so even the SEED
+            # fetch waits for rules: round 1's drain holds the seeds
+            # back (robots-first hold-back in run_round) and fetches
+            # the robots alone; the seeds follow in round 2 under the
+            # just-learned rules. Without this, seeds are the one url
+            # class fetched rules-blind.
+            rob = (
+                frontier.groupBy("host")
+                .agg(F.max(protocol_expr("url_norm")).alias("_scheme"))
+                .filter(F.length("_scheme") > 0)
+                .select(
+                    F.concat(
+                        F.col("_scheme"), F.lit("://"), F.col("host"),
+                        F.lit("/robots.txt"),
+                    ).alias("url_norm"),
+                    "host",
+                    F.lit(ops.PRIORITY_ROBOTS).alias("priority"),
+                    F.lit(0).alias("depth"),
+                    F.lit(0).alias("round_added"),
+                )
+                .withColumn("url_hash", F.xxhash64("url_norm"))
+            )
+            frontier = frontier.unionByName(rob)
         self.state.write_bucketed(frontier, r, "frontier_full", self.cfg.n_buckets)
-        empty_seen = self.spark.createDataFrame([], schemas.SEEN)
-        self.state.write_bucketed(empty_seen, r, "seen_full", self.cfg.n_buckets)
+        seen0 = self.spark.createDataFrame([], schemas.SEEN)
+        if self.cfg.fetch_robots_txt:
+            # the bootstrap robots rows enter seen immediately (unlike
+            # seeds, which faithfully stay out — crawling.go:153-175):
+            # the per-round candidate-stage prefetch relies on the seen
+            # check to enqueue each host's robots exactly once, and a
+            # seen-less bootstrap row would be re-added and re-fetched
+            # the first time its host shows up among candidates.
+            seen0 = seen0.unionByName(
+                frontier.filter(path_expr("url_norm") == "/robots.txt").select(
+                    "url_norm", "url_hash", F.lit(0).alias("round_seen")
+                )
+            )
+        self.state.write_bucketed(seen0, r, "seen_full", self.cfg.n_buckets)
         if self.cfg.bloom_prefilter:
             shards = bloom_ops.build_shards(
                 seeds.limit(0), self.cfg.n_buckets, self.cfg.shard_bits
@@ -440,13 +492,65 @@ class CrawlEngine:
             batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
 
+        # ---- robots-first hold-back -----------------------------------
+        # A host's FIRST drain wave is its robots.txt alone: a url
+        # whose host has its own /robots.txt row in this very batch
+        # (rules still unknown — links and the robots prefetch join
+        # the frontier in the same round) is HELD — excluded from the
+        # fetch AND from the drained tombstones, so it stays queued
+        # and drains next round under the just-fetched rules. One
+        # broadcast semi-join over the budget-bounded batch; a held
+        # url costs one under-filled drain slot for one round, and
+        # there is no starvation (the robots url is tombstoned this
+        # round, so next round the host is no longer held whether its
+        # robots fetch hit or missed).
+        batch_use = batch
+        if cfg.fetch_robots_txt:
+            is_rob = path_expr("url_norm") == "/robots.txt"
+            held_hosts = batch.filter(is_rob).select("host").distinct()
+            batch_use = batch.filter(is_rob).unionByName(
+                batch.filter(~is_rob).join(
+                    F.broadcast(held_hosts), "host", "left_anti"
+                )
+            )
+
+        # ---- drain-time robots backstop -------------------------------
+        # The candidate-time robots_filter (below) can only apply rules
+        # that existed when a url was DISCOVERED — rules that arrived
+        # later (or the hold-back's round-delayed first wave) must
+        # still be enforced. RFC practice is to check robots
+        # immediately before fetching: re-check the drained batch (one
+        # broadcast join over a budget-bounded frame — NOT the whole
+        # frontier, which would be O(frontier) per round) and divert
+        # blocked rows to the error sink. They stay in ``batch_use``
+        # so the drained tombstones still remove them from the
+        # frontier — each late-blocked url costs one drain slot, once,
+        # ever. /robots.txt itself is always fetchable.
+        err_robots = None
+        batch_fetch = batch_use
+        if robots_rules_df is not None:
+            marked = ops.robots_mark(
+                batch_use, robots_rules_df, exempt_robots_txt=True
+            )
+            err_robots = marked.filter(F.col("robots_blocked")).select(
+                F.lit(r).alias("round"),
+                F.col("url_norm").alias("url"),
+                F.lit(schemas.ERROR_CODES["ErrorRobotsBlocked"])
+                .cast("int")
+                .alias("error_code"),
+                F.lit("robots").alias("error_text"),
+            )
+            batch_fetch = marked.filter(~F.col("robots_blocked")).drop(
+                "robots_blocked"
+            )
+
         # ---- J6: fetch + gates; salt hot hosts before the fat UDFs ----
         # column-prune before the join: text/lang are never used in
         # the round (text regeneration is a test-side invariant).
         # Inner-join + broadcast batch: the corpus is never shuffled;
         # misses are recovered below from the persisted hit frame.
         fetched = ops.fetch_hits(
-            batch,
+            batch_fetch,
             self.pages.select("url", "warc_ts", "html"),
             broadcast_batch=broadcast_batch,
         )
@@ -486,7 +590,7 @@ class CrawlEngine:
         )
         ok = meta.filter(F.col("gate") == "ok")
 
-        missed = ops.fetch_misses(batch, meta)
+        missed = ops.fetch_misses(batch_fetch, meta)
         err_gate = meta.filter(F.col("gate") != "ok").select(
             F.lit(r).alias("round"),
             F.col("url_norm").alias("url"),
@@ -853,14 +957,18 @@ class CrawlEngine:
         # table of drained url_hashes — O(round activity), not
         # O(frontier). The full table is rewritten (and tombstones
         # folded in) on the seen-compaction cadence.
+        # held rows (robots-first hold-back) are NOT in batch_use: they
+        # survive both the full-rewrite anti-join and the tombstones.
         if r % cfg.compact_seen_every == 0:
-            rest = frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
+            rest = frontier.join(
+                batch_use.select("url_hash"), "url_hash", "left_anti"
+            )
             pending.append((rest.unionByName(new_frontier), "frontier_full"))
             new_frontier_parts = [f"r{r:05d}/frontier_full"]
             new_drained_parts: list[str] = []
         else:
             pending.append((new_frontier, "frontier_delta"))
-            drained_delta = batch.select(
+            drained_delta = batch_use.select(
                 "url_hash", F.lit(r).alias("drained_round")
             )
             pending.append((drained_delta, "drained"))
@@ -883,6 +991,8 @@ class CrawlEngine:
         errors = err_gate
         if err_media is not None:
             errors = errors.unionByName(err_media)
+        if err_robots is not None:
+            errors = errors.unionByName(err_robots)
         pending.append((errors, "errors"))
 
         if cfg.lineage_metrics:

@@ -224,6 +224,7 @@ ERROR_CODES = {
     "ErrorPerceptualHash": 8,
     "ErrorFaceRecognition": 9,
     "ErrorFetchMissing": 10,  # engine-only: frontier url absent from corpus
+    "ErrorRobotsBlocked": 11,  # engine-only: drained url denied by robots
 }
 
 ERRORS = T.StructType(

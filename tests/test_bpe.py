@@ -121,3 +121,65 @@ def test_train_on_sf_documents(spark):
     want = _py_reference_train(texts, n_merges=10)
     assert got == want
     assert len(got) == 10
+
+
+def test_local_trainer_matches_reference():
+    """bpe_train_local (incremental pair counts) == the O(V)-per-merge
+    straight reference on the same (word, freq) table."""
+    from notjusthtml_searchengine_spark.operators.bpe import bpe_train_local
+
+    freqs: dict[str, int] = {}
+    for t in CORPUS:
+        for w in t.split():
+            freqs[w] = freqs.get(w, 0) + 1
+    got = bpe_train_local(sorted(freqs.items()), n_merges=12)
+    want = _py_reference_train(CORPUS, n_merges=12)
+    assert got == want, (got, want)
+
+
+def test_sampled_trainer_one_job_identical(spark, docs):
+    """r4 verdict #6: the production trainer collects the (word,freq)
+    table ONCE and learns every merge locally — at fraction=1.0 the
+    merge list is identical to both the Spark-iterative trainer and
+    the pure-Python reference, with ONE Spark job for any merge
+    count (vs one per merge)."""
+    from notjusthtml_searchengine_spark.operators.bpe import bpe_train_sampled
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    got = bpe_train_sampled(docs, n_merges=12)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    want = _py_reference_train(CORPUS, n_merges=12)
+    assert got == want, (got, want)
+    assert after - before <= 2, "sampled trainer must not scale jobs with merges"
+
+
+def test_sampled_trainer_256_merges_on_sf_corpus(spark):
+    """256 merges on the sf0.01 documents corpus in ONE collect job —
+    identical to the pure-Python reference over the same rows (the
+    'bounded jobs, ≪1 job/merge' bar from the r4 verdict)."""
+    from notjusthtml_searchengine_spark.operators.bpe import bpe_train_sampled
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .filter(F.col("doc_id") < 400)
+        .select("doc_id", "text")
+    )
+    texts = [r["text"] for r in docs.collect()]
+    got = bpe_train_sampled(docs, n_merges=256)
+    want = _py_reference_train(texts, n_merges=256)
+    assert got == want
+    assert len(got) > 64  # the corpus genuinely supports deep merges
+
+
+def test_sampled_trainer_truncation_and_fraction(spark, docs):
+    """max_words keeps the top-frequency words; fraction hash-samples
+    distinct words — both produce deterministic merge lists."""
+    from notjusthtml_searchengine_spark.operators.bpe import bpe_train_sampled
+
+    a = bpe_train_sampled(docs, n_merges=6, max_words=3)
+    b = bpe_train_sampled(docs, n_merges=6, max_words=3)
+    assert a == b and len(a) > 0
+    c = bpe_train_sampled(docs, n_merges=6, fraction=0.5)
+    d = bpe_train_sampled(docs, n_merges=6, fraction=0.5)
+    assert c == d

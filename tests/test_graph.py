@@ -130,3 +130,34 @@ def test_no_action_during_lazy_construction(spark):
     df = pagerank(bomb, n_iter=2)  # must not raise here
     with pytest.raises(Exception):
         df.collect()
+
+
+def test_deep_iteration_auto_checkpoints(spark):
+    """r4 verdict #7: persist_each defaults to None = auto-enable
+    localCheckpoint above 6 iterations, so pagerank(n_iter=12) plans
+    and runs WITHOUT the caller passing the flag (lazy mode at that
+    depth previously OOM'd the driver during planning)."""
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    from notjusthtml_searchengine_spark.operators.graph import (
+        connected_components,
+    )
+
+    rows = pagerank(e, n_iter=12, round_to=9).collect()
+    assert len(rows) == 6
+    # ring → uniform 1/6 regardless of iteration count
+    assert all(abs(r["rank"] - 1 / 6) < 1e-6 for r in rows)
+    labels = connected_components(e, n_iter=8).collect()
+    assert {r["component"] for r in labels} == {0}
+
+
+def test_explicit_lazy_honored_at_depth(spark):
+    """persist_each=False is still honored as given (the auto default
+    only applies to None) — construction stays action-free."""
+    from notjusthtml_searchengine_spark.operators.graph import _resolve_persist
+
+    assert _resolve_persist(None, 6) is False
+    assert _resolve_persist(None, 7) is True
+    assert _resolve_persist(False, 100) is False
+    assert _resolve_persist(True, 1) is True

@@ -42,21 +42,103 @@ def test_group_selection_longest_match():
 def test_fallback_star_group_and_wildcard_reduction():
     g = parse_robots_txt(BODY, user_agent="randombot")
     assert g["disallow_prefixes"] == ["/blocked/"]  # empty Disallow dropped
-    # wildcard Allow is DROPPED (truncating would widen it and defeat
-    # the Disallow under longest-match precedence)
-    assert g["allow_prefixes"] == []
+    # single-star Allow is KEPT since r5 — the enforcement side
+    # matches it exactly (startswith pre-star + contains post-star)
+    assert g["allow_prefixes"] == ["/blocked/ok*suffix"]
     assert g["crawl_delay_ms"] is None
 
 
-def test_wildcard_allow_never_widens():
-    body = "User-agent: *\nDisallow: /private/\nAllow: /*.css\nAllow: /page$\n"
+def test_wildcard_allow_policy():
+    body = (
+        "User-agent: *\nDisallow: /private/\nAllow: /*.css\n"
+        "Allow: /page$\nAllow: /*a*b\n"
+    )
     g = parse_robots_txt(body, "bot")
-    assert g["allow_prefixes"] == []  # both unsafe Allows dropped
+    # single-star and '$'-anchored Allows are kept (matched exactly by
+    # crawl_ops._rule_match); only the multi-star Allow is dropped —
+    # its superset fallback match would WIDEN it
+    assert g["allow_prefixes"] == ["/*.css", "/page$"]
     assert g["disallow_prefixes"] == ["/private/"]
-    # Disallow patterns are stored VERBATIM — the filter reduces the
-    # match prefix but ranks by the original length (never under-blocks)
+    # Disallow patterns are stored VERBATIM
     g2 = parse_robots_txt("User-agent: *\nDisallow: /a*/b\nDisallow: /c$\n", "bot")
     assert g2["disallow_prefixes"] == ["/a*/b", "/c$"]
+
+
+def test_single_star_disallow_does_not_block_host(spark):
+    """ADVICE r4 regression: 'Disallow: /*.gif' used to reduce to the
+    prefix '/' with full original-length precedence — blocking the
+    ENTIRE host. Exact single-star matching blocks only gif paths."""
+    rules = spark.createDataFrame(
+        [("h.ex", [], ["/*.gif"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://h.ex/img/cat.gif", "h.ex"),   # matches → blocked
+            ("http://h.ex/page.html", "h.ex"),      # no match → allowed
+            ("http://h.ex/", "h.ex"),               # no match → allowed
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {"http://h.ex/page.html", "http://h.ex/"}
+
+
+def test_single_star_allow_matched_exactly(spark):
+    """'Allow: /*.css' + 'Disallow: /' — css paths (and only css
+    paths) survive, exactly as a real RFC 9309 parser decides."""
+    rules = spark.createDataFrame(
+        [("h.ex", ["/*.css"], ["/"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://h.ex/styles/site.css", "h.ex"),  # allow 7 > dis 1
+            ("http://h.ex/page.html", "h.ex"),        # dis only → blocked
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {"http://h.ex/styles/site.css"}
+
+
+def test_anchored_and_middle_star_shapes(spark):
+    """'$'-anchored literal = exact path equality; '/a/*/b$' single
+    star anchored = startswith + endswith with no overlap."""
+    rules = spark.createDataFrame(
+        [("h.ex", [], ["/exact$", "/a/*/b$"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("http://h.ex/exact", "h.ex"),        # == → blocked
+            ("http://h.ex/exactly", "h.ex"),      # prefix only → allowed
+            ("http://h.ex/a/x/b", "h.ex"),        # star match → blocked
+            ("http://h.ex/a/x/b/c", "h.ex"),      # not anchored-end → allowed
+        ],
+        "url_norm string, host string",
+    )
+    allowed = {r["url_norm"] for r in robots_filter(cands, rules).collect()}
+    assert allowed == {"http://h.ex/exactly", "http://h.ex/a/x/b/c"}
+
+
+def test_multi_star_ranks_by_reduced_prefix(spark):
+    """Multi-star patterns still superset-match (over-block only) but
+    rank by the REDUCED prefix so they cannot dominate the host: the
+    collapsed '/*a*b' (prefix '/', rank 1) ties with 'Allow: /'
+    (rank 1) and allow wins the tie."""
+    rules = spark.createDataFrame(
+        [("h.ex", ["/"], ["/*a*b"], None, 0)],
+        "host string, allow_prefixes array<string>, disallow_prefixes array<string>, "
+        "crawl_delay_ms int, fetched_round int",
+    )
+    cands = spark.createDataFrame(
+        [("http://h.ex/anything", "h.ex")], "url_norm string, host string"
+    )
+    assert robots_filter(cands, rules).count() == 1
 
 
 def test_truncated_wildcard_disallow_keeps_original_precedence(spark):

@@ -106,3 +106,73 @@ def test_robots_fetched_in_loop_blocks_candidates(spark, tmp_path):
     assert (
         seen.filter(F.col("url_norm") == f"{B}/blocked/x").count() == 0
     )
+
+def test_robots_first_holdback_and_drain_backstop(spark, tmp_path):
+    """r5 politeness ordering: (a) a host's robots.txt is FETCHED in a
+    strictly earlier round than any page of that host — bootstrap
+    pre-enqueues the seed host's robots and the drain holds same-batch
+    host pages back one round; (b) a url admitted to the frontier
+    before its rules arrived (the held seed itself, here pointing into
+    a disallowed tree) is blocked at DRAIN time by the backstop and
+    lands in the error sink as ErrorRobotsBlocked, never fetched;
+    (c) robots.txt is fetched exactly once (bootstrap rows enter seen,
+    so the candidate-stage prefetch does not re-enqueue them)."""
+    pages = {
+        f"{B}/robots.txt": "User-agent: *\nDisallow: /blocked\n",
+        f"{B}/blocked/seed": "<html><body><p>never fetch me</p></body></html>",
+        f"{B}/open": "<html><body><p>fine</p></body></html>",
+    }
+    urls = list(pages)
+    tbl = pa.table(
+        {
+            "url": urls,
+            "warc_ts": pa.array([TS] * len(urls), pa.timestamp("us", tz="UTC")),
+            "html": pa.array([pages[u].encode() for u in urls], pa.binary()),
+            "text": [""] * len(urls),
+            "lang": ["en"] * len(urls),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "pages.parquet"))
+    (d / "seeds.txt").write_text(f"{B}/blocked/seed\n{B}/open\n")
+    (d / "flagged.csv").write_text("zebra,11\n")
+
+    cfg = CrawlConfig(
+        state_dir=str(tmp_path / "state"),
+        n_buckets=4,
+        bloom_prefilter=False,
+        media=False,
+        fetch_robots_txt=True,
+    )
+    eng = CrawlEngine(
+        spark,
+        pages_path=str(d / "pages.parquet"),
+        seeds_path=str(d / "seeds.txt"),
+        flagged_path=str(d / "flagged.csv"),
+        robots_path=None,
+        cfg=cfg,
+    )
+    eng.run(max_rounds=8)
+
+    contents = spark.read.schema(schemas.CONTENTS).parquet(
+        os.path.join(str(tmp_path / "state"), "rounds", "r*", "contents")
+    )
+    by_url = {r["url"]: r["round"] for r in contents.collect()}
+    # (a) robots strictly precedes every host page
+    assert by_url[f"{B}/robots.txt"] < by_url[f"{B}/open"]
+    # (b) the disallowed seed was never fetched; drain-time backstop
+    # recorded it as ErrorRobotsBlocked
+    assert f"{B}/blocked/seed" not in by_url
+    errors = spark.read.schema(schemas.ERRORS).parquet(
+        os.path.join(str(tmp_path / "state"), "rounds", "r*", "errors")
+    )
+    blocked = errors.filter(
+        F.col("error_code") == schemas.ERROR_CODES["ErrorRobotsBlocked"]
+    ).collect()
+    assert [r["url"] for r in blocked] == [f"{B}/blocked/seed"]
+    # (c) exactly one robots fetch
+    n_robots_fetches = contents.filter(
+        F.col("url") == f"{B}/robots.txt"
+    ).count()
+    assert n_robots_fetches == 1
