@@ -102,3 +102,47 @@ def test_top_pages_pagerank_over_crawl(spark, crawled_state):
     rels = spark.table("link_rels")
     dests = {r["dest_url"] for r in rels.select("dest_url").distinct().collect()}
     assert out[0]["url"] in dests
+
+
+def test_top_pages_agrees_with_independent_pagerank(spark, crawled_state):
+    """r4 verdict #8: close the loop crawl sinks → graph operator. An
+    INDEPENDENT pure-Python power iteration (same unrolled n_iter,
+    damping, uniform init, dangling mass redistributed uniformly) over
+    the SAME link_rels edges must reproduce top_pages' ranking and
+    rank values."""
+    from notjusthtml_searchengine_spark.plans.catalog import top_pages
+
+    register_sinks(spark, crawled_state)
+    n_iter, damping = 5, 0.85
+    out = top_pages(spark, k=10, n_iter=n_iter).collect()
+
+    rels = spark.table("link_rels")
+    edges = {
+        (r["origin_id"], r["dest_id"])
+        for r in rels.select("origin_id", "dest_id").distinct().collect()
+    }
+    names = {
+        r[0]: r[1]
+        for r in rels.select(F.col("origin_id"), F.col("origin_url")).collect()
+        + rels.select(F.col("dest_id"), F.col("dest_url")).collect()
+    }
+    verts = sorted({v for e in edges for v in e})
+    n = len(verts)
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        dang = sum(rank[v] for v in verts if v not in outdeg)
+        contrib = {v: 0.0 for v in verts}
+        for s, d in edges:
+            contrib[d] += rank[s] / outdeg[s]
+        rank = {
+            v: (1.0 - damping) / n + damping * (contrib[v] + dang / n)
+            for v in verts
+        }
+    expected = sorted(
+        ((names[v], round(rank[v], 6)) for v in verts),
+        key=lambda t: (-t[1], t[0]),
+    )[:10]
+    assert [(r["url"], r["rank"]) for r in out] == expected
