@@ -550,6 +550,84 @@ WHERE a.doc_id < b.doc_id
 SQL_MINHASH_LSH = _sql_minhash_lsh()
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Corpus-level near-dup clustering (Dolma/FineWeb pass): LSH
+    candidates → exact Jaccard ≥ 0.5 verify → connected components →
+    one canonical doc per cluster."""
+    from notjusthtml_searchengine_spark.operators.dedup import dedup_clusters
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return dedup_clusters(
+        docs, "doc_id", "text", threshold=0.5, n=2, k=16, bands=4
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_clusters() -> str:
+    """DuckDB mirror of dedup_clusters(n=2, k=16, bands=4, t=0.5):
+    the minhash/banding CTEs of _sql_minhash_lsh, exact Jaccard on
+    the candidate pairs from per-doc distinct shingle counts, then
+    EXACT components via a recursive transitive-closure min-label
+    (the operator's fixed-k-hop propagation has converged for these
+    bounded clusters, so the results agree)."""
+    M = (1 << 61) - 1
+    mins = ", ".join(
+        f"min(({2 * i + 1}*h + {i * i + 1}) % {M}) AS mh{i}" for i in range(16)
+    )
+    bands = "\nUNION ALL\n".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sig".format(
+            b=b,
+            cat="||','||".join(
+                f"CAST(mh{i} AS VARCHAR)" for i in range(4 * b, 4 * b + 4)
+            ),
+        )
+        for b in range(4)
+    )
+    return rf"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 300),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t)-1), i -> array_to_string(t[i:i+1], ' '))
+                ELSE [] END) AS shingle
+  FROM toks),
+h AS (SELECT doc_id, CAST('0x'||substr(md5(shingle),1,12) AS BIGINT) AS h FROM sh),
+sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id),
+bands AS ({bands}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, bucket)
+  WHERE a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT id_a, id_b, count(*) AS ni
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+                     AND a.shingle = b.shingle
+  GROUP BY 1, 2),
+edges0 AS (
+  SELECT id_a, id_b FROM inter
+  JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+  WHERE ni::DOUBLE / (ca.n + cb.n - ni) >= 0.5),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM edges0
+  UNION ALL SELECT id_b, id_a FROM edges0),
+lab(v, c) AS (
+  SELECT doc_id, doc_id FROM toks
+  UNION
+  SELECT e.dst, l.c FROM lab l JOIN edges e ON e.src = l.v)
+SELECT t.doc_id,
+       min(l.c) AS cluster_id,
+       min(l.c) = t.doc_id AS is_canonical
+FROM toks t JOIN lab l ON l.v = t.doc_id
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
 def q_simhash(spark, sf_dir):
     """SimHash fingerprints (60-bit Charikar over the portable hash;
     also property-tested in tests/test_dedup.py)."""
@@ -1044,6 +1122,79 @@ SELECT doc_id,
        CAST(len(list_distinct(mins)) AS INT) AS n_fp,
        md5(array_to_string(list_sort(list_distinct(mins)), ',')) AS fp_digest
 FROM m
+"""
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher repetition quality filters (Rae et al. 2021 A1.1):
+    duplicate-line fractions + top word-n-gram character coverage,
+    with the published thresholds folded into repetition_ok."""
+    from notjusthtml_searchengine_spark.operators.textops import (
+        repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return repetition_signals(docs).orderBy("doc_id")
+
+
+SQL_REPETITION = r"""
+WITH base AS (
+  SELECT doc_id,
+    greatest(length(text), 0) AS text_len,
+    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk,
+    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                l -> l <> '') AS lines
+  FROM documents WHERE doc_id < 300),
+lc AS (
+  SELECT doc_id, line, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(lines) AS line FROM base) GROUP BY 1, 2),
+lstat AS (
+  SELECT doc_id, sum(cnt) AS n_lines,
+    round(1.0 - count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS dup_line_frac,
+    round(coalesce(CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(line) END)
+                        AS DOUBLE), 0.0)
+          / CAST(greatest(sum(cnt * length(line)), 1) AS DOUBLE), 6)
+      AS dup_line_char_frac
+  FROM lc GROUP BY doc_id),
+grams AS (
+  SELECT doc_id, text_len, k, array_to_string(tk[i:i+k-1], ' ') AS g
+  FROM base, unnest([2, 3, 4]) AS ks(k),
+       unnest(generate_series(1, len(tk) - (k - 1))) AS t(i)
+  WHERE len(tk) >= k),
+gc AS (
+  SELECT doc_id, text_len, k, g, count(*) AS cnt
+  FROM grams GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT doc_id, k,
+    CASE WHEN cnt >= 2
+         THEN round(CAST(cnt AS DOUBLE) * length(g)
+                    / CAST(greatest(text_len, 1) AS DOUBLE), 6)
+         ELSE 0.0 END AS frac
+  FROM gc
+  QUALIFY row_number() OVER (PARTITION BY doc_id, k
+                             ORDER BY cnt DESC, g ASC) = 1),
+piv AS (
+  SELECT doc_id,
+    coalesce(max(frac) FILTER (k = 2), 0.0) AS top_2gram_char_frac,
+    coalesce(max(frac) FILTER (k = 3), 0.0) AS top_3gram_char_frac,
+    coalesce(max(frac) FILTER (k = 4), 0.0) AS top_4gram_char_frac
+  FROM best GROUP BY doc_id)
+SELECT b.doc_id,
+  coalesce(l.n_lines, 0) AS n_lines,
+  coalesce(l.dup_line_frac, 0.0) AS dup_line_frac,
+  coalesce(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+  coalesce(p.top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+  coalesce(p.top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+  coalesce(p.top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+  (coalesce(l.dup_line_frac, 0.0) <= 0.30
+   AND coalesce(l.dup_line_char_frac, 0.0) <= 0.20
+   AND coalesce(p.top_2gram_char_frac, 0.0) <= 0.20
+   AND coalesce(p.top_3gram_char_frac, 0.0) <= 0.18
+   AND coalesce(p.top_4gram_char_frac, 0.0) <= 0.16) AS repetition_ok
+FROM base b
+LEFT JOIN lstat l USING (doc_id)
+LEFT JOIN piv p USING (doc_id)
+ORDER BY b.doc_id
 """
 
 
@@ -1986,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "simhash": q_simhash,
         "ann_brute_topk": q_ann_brute_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -2001,6 +2153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_bpe": q_token_count_bpe,
         "doc_fingerprint": q_doc_fingerprint,
         "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+        "repetition_signals": q_repetition_signals,
         "pagerank": q_pagerank,
         "connected_components": q_connected_components,
         "split_by_hash": q_split_by_hash,
@@ -2053,6 +2206,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,
         "ann_brute_topk": SQL_ANN_BRUTE,
         "ann_lsh_topk": SQL_ANN_LSH,
@@ -2068,6 +2222,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count_bpe": SQL_TOKEN_BPE,
         "doc_fingerprint": SQL_FINGERPRINT,
         "doc_winnow_fingerprint": SQL_WINNOW,
+        "repetition_signals": SQL_REPETITION,
         "content_sniff_magic": SQL_SNIFF_MAGIC,
         "url_canonicalize": SQL_URL_CANON,
         "robots_parse": SQL_ROBOTS_PARSE,

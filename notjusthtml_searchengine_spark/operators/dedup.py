@@ -229,3 +229,71 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    n: int = 3,
+    k: int = 16,
+    bands: int = 4,
+    n_iter: int = 8,
+) -> DataFrame:
+    """Corpus-level near-duplicate CLUSTERING — the standard training-
+    data dedup pass (the Dolma / FineWeb / RefinedWeb shape), composed
+    from this module's primitives plus graph.connected_components:
+
+      MinHash-LSH candidate pairs  (banded self-join — never all-pairs)
+        → exact Jaccard verify     (per-doc shingle sets joined onto
+                                    the candidate pairs only; two
+                                    id-keyed joins, the shingle-level
+                                    join fan-out of jaccard_pairs is
+                                    avoided entirely)
+        → connected components     (min-label k-hop; the O(log n)
+                                    small/large-star form is noted in
+                                    graph.py for extreme diameters)
+        → every doc labeled (cluster_id = component min id);
+          is_canonical marks the one doc per cluster a dedup pass
+          KEEPS (deterministic: the smallest id).
+
+    Docs with no verified near-dup are their own singleton cluster.
+    Output: (id, cluster_id, is_canonical), one row per input doc.
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, k=k, n=n)
+    cand = lsh_candidate_pairs(sigs, id_col, bands=bands)
+    sets_ = word_shingles(docs, id_col, text_col, n).groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_sh")
+    )
+    verified = (
+        cand.join(
+            sets_.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sets_.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
+            "id_b",
+        )
+        .withColumn(
+            "_j",
+            F.size(F.array_intersect("_sa", "_sb")).cast("double")
+            / F.greatest(F.size(F.array_union("_sa", "_sb")), F.lit(1)).cast(
+                "double"
+            ),
+        )
+        .filter(F.col("_j") >= threshold)
+    )
+    from .graph import connected_components
+
+    edges = verified.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(edges, n_iter=n_iter)
+    out = docs.select(id_col).join(
+        comp.withColumnRenamed("vertex", id_col), id_col, "left"
+    )
+    return out.select(
+        F.col(id_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
+    ).withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))

@@ -218,3 +218,138 @@ def bm25_scores(
         F.round(F.sum("term_score"), 4).alias("score"),
         F.count(F.lit(1)).alias("n_terms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality signals (the Gopher rules — Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", Appendix A1.1). The standard web-text filters a 100-TB
+# training pipeline applies after the length/punct/stopword heuristics
+# above: documents dominated by repeated lines or by one n-gram are
+# boilerplate/spam, not prose.
+# ---------------------------------------------------------------------------
+#: Gopher filter thresholds: a doc is repetition-OK iff every signal
+#: is <= its threshold (fractions in [0,1]).
+GOPHER_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+}
+
+
+def _top_ngram_frac(docs: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Per doc: characters covered by the MOST frequent word k-gram
+    (count × gram length, over total text chars) — 0.0 unless that
+    gram actually REPEATS (cnt >= 2): a singleton top gram is not
+    repetition, and Gopher only applies these filters after a 50-word
+    length gate, so the literal formula never sees the short docs
+    where a single 3-gram exceeds the threshold. Ties break to the
+    lexicographically smallest gram via min(struct(-cnt, gram)) — one
+    explode + two partial-aggregating groupBys on (id, gram) then id;
+    no windows, no skew beyond document size."""
+    toks = F.col("_tk")
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+        ),
+    ).otherwise(F.array())
+    counts = (
+        docs.select(id_col, "_text_len", F.explode(grams).alias("gram"))
+        .groupBy(id_col, "_text_len", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = counts.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("gram"))).alias("_b"),
+        F.first("_text_len").alias("_tl"),
+    )
+    return best.select(
+        id_col,
+        F.when(
+            -F.col("_b.neg") >= 2,
+            F.round(
+                (-F.col("_b.neg")).cast("double")
+                * F.length(F.col("_b.gram"))
+                / F.greatest(F.col("_tl"), F.lit(1)).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"top_{k}gram_char_frac"),
+    )
+
+
+def repetition_signals(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher repetition signals per document:
+
+      n_lines              non-empty (after trim) '\\n'-separated lines
+      dup_line_frac        1 - distinct_lines / n_lines
+      dup_line_char_frac   chars on lines whose value occurs >= 2
+                           times (all occurrences) / chars on all lines
+      top_{2,3,4}gram_char_frac
+                           chars covered by the most frequent word
+                           k-gram / total text chars
+      repetition_ok        every signal <= its GOPHER_THRESHOLDS bound
+
+    All fractions rounded to 6 places (cross-engine hash parity).
+    Shape at scale: one explode per signal family, groupBys keyed on
+    (doc, value) with map-side partial aggregation, left joins back on
+    the doc id — no windows over unbounded strata, no crossJoins."""
+    base = docs.select(
+        id_col,
+        F.greatest(F.length(text_col), F.lit(0)).alias("_text_len"),
+        tokens(F.col(text_col)).alias("_tk"),
+        F.filter(
+            F.transform(
+                F.split(F.col(text_col), "\n"), lambda l: F.trim(l)
+            ),
+            lambda l: l != "",
+        ).alias("_lines"),
+    )
+
+    lc = (
+        base.select(id_col, F.explode("_lines").alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lstat = lc.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)) / F.sum("cnt").cast("double"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line"))
+                ).cast("double"),
+                F.lit(0.0),
+            )
+            / F.greatest(
+                F.sum(F.col("cnt") * F.length("line")), F.lit(1)
+            ).cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    out = base.select(id_col).join(lstat, id_col, "left")
+    for k in (2, 3, 4):
+        out = out.join(_top_ngram_frac(base, id_col, k), id_col, "left")
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0.0))  # noqa: E731
+    out = out.select(
+        id_col,
+        F.coalesce(F.col("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        zero("dup_line_frac").alias("dup_line_frac"),
+        zero("dup_line_char_frac").alias("dup_line_char_frac"),
+        zero("top_2gram_char_frac").alias("top_2gram_char_frac"),
+        zero("top_3gram_char_frac").alias("top_3gram_char_frac"),
+        zero("top_4gram_char_frac").alias("top_4gram_char_frac"),
+    )
+    ok = F.lit(True)
+    for name, thr in GOPHER_THRESHOLDS.items():
+        ok = ok & (F.col(name) <= F.lit(thr))
+    return out.withColumn("repetition_ok", ok)

@@ -154,3 +154,38 @@ def test_simhash_hamming_ordering(spark, docs):
     near = simhash_near_pairs(sim, "doc_id", max_hamming=10).collect()
     pairs = {(r["id_a"], r["id_b"]) for r in near}
     assert (0, 2) in pairs
+
+
+def test_dedup_clusters_groups_and_canonicals(spark, docs):
+    from notjusthtml_searchengine_spark.operators.dedup import dedup_clusters
+
+    out = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in dedup_clusters(
+            docs, "doc_id", "text", threshold=0.5, n=2
+        ).collect()
+    }
+    assert len(out) == 7  # one row per input doc, always
+    # 0/1/2 cluster together (exact dup + near-dup), canonical = 0
+    assert out[0] == (0, True)
+    assert out[1] == (0, False)
+    assert out[2] == (0, False)
+    # 4/5 cluster, canonical = 4
+    assert out[4] == (4, True)
+    assert out[5] == (4, False)
+    # singletons are their own canonical cluster
+    assert out[3] == (3, True)
+    assert out[6] == (6, True)
+
+
+def test_dedup_clusters_threshold_1_keeps_only_exact(spark, docs):
+    from notjusthtml_searchengine_spark.operators.dedup import dedup_clusters
+
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(
+            docs, "doc_id", "text", threshold=1.0, n=2
+        ).collect()
+    }
+    assert out[2] == 0 and out[0] == 0  # exact dup still clusters
+    assert out[1] == 1 and out[5] == 5  # near-dups split out
