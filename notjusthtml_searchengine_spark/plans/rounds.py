@@ -482,7 +482,17 @@ class CrawlEngine:
             host_caps = ops.crawl_delay_caps(robots_rules_df, cfg.round_seconds)
         batch = ops.drain_frontier(
             frontier, cfg.round_budget, cfg.per_host_budget, host_caps=host_caps
-        ).persist(_CACHE)
+        )
+        # The drain-time robots backstop flag is folded in BEFORE the
+        # persist: every consumer (fetch, misses, error rows,
+        # tombstones) reads one cached frame, instead of re-evaluating
+        # a join-above-the-cache per consumer (measured ~15% round
+        # cost at local[8] when it sat above the cache).
+        if robots_rules_df is not None:
+            batch = ops.robots_mark(
+                batch, robots_rules_df, exempt_robots_txt=True
+            )
+        batch = batch.persist(_CACHE)
         n_batch, batch_bytes = self._batch_stats(batch)
         broadcast_batch = batch_bytes <= cfg.broadcast_max_bytes
         resized = self._size_shuffle(n_batch, prev_avg_bytes)
@@ -519,20 +529,18 @@ class CrawlEngine:
         # that existed when a url was DISCOVERED — rules that arrived
         # later (or the hold-back's round-delayed first wave) must
         # still be enforced. RFC practice is to check robots
-        # immediately before fetching: re-check the drained batch (one
+        # immediately before fetching: the ``robots_blocked`` flag was
+        # computed inside the persisted drain frame above (one
         # broadcast join over a budget-bounded frame — NOT the whole
-        # frontier, which would be O(frontier) per round) and divert
-        # blocked rows to the error sink. They stay in ``batch_use``
-        # so the drained tombstones still remove them from the
-        # frontier — each late-blocked url costs one drain slot, once,
-        # ever. /robots.txt itself is always fetchable.
+        # frontier, which would be O(frontier) per round); blocked
+        # rows divert to the error sink. They stay in ``batch_use`` so
+        # the drained tombstones still remove them from the frontier —
+        # each late-blocked url costs one drain slot, once, ever.
+        # /robots.txt itself is always fetchable.
         err_robots = None
         batch_fetch = batch_use
         if robots_rules_df is not None:
-            marked = ops.robots_mark(
-                batch_use, robots_rules_df, exempt_robots_txt=True
-            )
-            err_robots = marked.filter(F.col("robots_blocked")).select(
+            err_robots = batch_use.filter(F.col("robots_blocked")).select(
                 F.lit(r).alias("round"),
                 F.col("url_norm").alias("url"),
                 F.lit(schemas.ERROR_CODES["ErrorRobotsBlocked"])
@@ -540,7 +548,7 @@ class CrawlEngine:
                 .alias("error_code"),
                 F.lit("robots").alias("error_text"),
             )
-            batch_fetch = marked.filter(~F.col("robots_blocked")).drop(
+            batch_fetch = batch_use.filter(~F.col("robots_blocked")).drop(
                 "robots_blocked"
             )
 
