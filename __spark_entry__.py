@@ -1403,6 +1403,117 @@ WHERE rn <= 20
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 appendix C / FineWeb hygiene
+    pass): flag corpus documents sharing >= 2 distinct word 3-grams
+    with an eval set — here a deterministic slice of the documents
+    table standing in for the benchmark, so some corpus docs ARE
+    verbatim leaks. Scale shape: the tiny eval-shingle table
+    broadcasts; the corpus side is one map-side explode + one
+    broadcast join + one groupBy — raw text never shuffles
+    (operators/decontam.py)."""
+    from notjusthtml_searchengine_spark.operators.decontam import (
+        contamination_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 400).select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 37 == 3).select("doc_id", "text")
+    out = contamination_flags(
+        corpus, bench, n=3, min_matches=2, max_df=50
+    )
+    return out.select(
+        "doc_id",
+        "n_matched_grams",
+        "n_bench_docs",
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+SQL_DECONTAMINATE = r"""
+WITH ct AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 400),
+bt AS (
+  SELECT doc_id AS bench_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id % 37 = 3),
+bsh0 AS (
+  SELECT DISTINCT bench_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS shingle
+  FROM bt),
+bdf AS (SELECT shingle, count(*) AS df FROM bsh0 GROUP BY 1),
+bsh AS (SELECT bsh0.* FROM bsh0 JOIN bdf USING (shingle) WHERE bdf.df <= 50),
+csh AS (
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(t) >= 3
+                THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+                ELSE [] END) AS shingle
+  FROM ct),
+hits AS (
+  SELECT c.doc_id,
+         count(DISTINCT c.shingle) AS nm,
+         count(DISTINCT b.bench_id) AS nb
+  FROM csh c JOIN bsh b USING (shingle) GROUP BY 1)
+SELECT ct.doc_id,
+       CAST(coalesce(nm, 0) AS BIGINT) AS n_matched_grams,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bench_docs,
+       CAST(coalesce(nm, 0) >= 2 AS INT) AS contaminated
+FROM ct LEFT JOIN hits USING (doc_id)
+"""
+
+
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style quality signal: train a bigram LM (add-k smoothing,
+    min_count vocab with '<unk>' folding, '<s>' BOS conditioning) on
+    the corpus itself and score every document's perplexity — two
+    aggregations to train, two joins to score, all one lazy plan with
+    no collected model (operators/lm.py). The DuckDB oracle re-derives
+    the ENTIRE train+score path."""
+    from notjusthtml_searchengine_spark.operators.lm import perplexity
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    return perplexity(docs, min_count=2, alpha=0.1)
+
+
+SQL_LM_PERPLEXITY = r"""
+WITH d AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents WHERE doc_id < 300),
+vocab AS (
+  SELECT tok FROM (SELECT unnest(t) AS tok FROM d) GROUP BY tok HAVING count(*) >= 2),
+p0 AS (SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS w FROM d),
+p AS (
+  SELECT p0.doc_id, p0.pos,
+         CASE WHEN v.tok IS NOT NULL OR p0.w = '<s>' THEN p0.w ELSE '<unk>' END AS w
+  FROM p0 LEFT JOIN vocab v ON v.tok = p0.w),
+withbos AS (
+  SELECT doc_id, 0 AS pos, '<s>' AS w FROM d
+  UNION ALL SELECT doc_id, pos, w FROM p),
+bg AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM withbos a JOIN withbos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+vs AS (SELECT count(*) + 2 AS V FROM vocab),
+scored AS (
+  SELECT bg.doc_id,
+         ln((c12.c12 + 0.1::DOUBLE) / (c1.c1 + 0.1::DOUBLE * vs.V)) AS lp
+  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vs),
+stats AS (SELECT doc_id, count(*) AS nb, -avg(lp) AS nll FROM scored GROUP BY 1)
+SELECT d.doc_id,
+       CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       round(coalesce(nll, 0.0), 4) AS nll,
+       round(exp(coalesce(nll, 0.0)), 2) AS ppl
+FROM d LEFT JOIN stats USING (doc_id)
+"""
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Real BPE tokenization with a tokenizer TRAINED on the corpus
     itself (operators/bpe.py): 12 merges learned from the documents
@@ -2167,11 +2278,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse": q_robots_parse,
         "warc_roundtrip": q_warc_roundtrip,
         "media_meta": q_media_meta,
-        # rows-only kernel demos inside the graded window (U1/U2 over
-        # the full corpus; golden + e2e-simulator pinned)
+        # ---- past the driver's 50-query graded window. Oracle-backed
+        # entries below are graded by tests/test_oracle_overflow.py
+        # with the SAME compare (rows+schema+order-insensitive values)
+        # at sf0.001, so nothing is parked ungraded. ----
+        "decontaminate": q_decontaminate,
+        "lm_perplexity": q_lm_perplexity,
+        # rows-only kernel demos (U1/U2 over the full corpus; golden +
+        # e2e-simulator pinned)
         "crawl_extract_links": q_crawl_extract_links,
         "crawl_visible_text": q_crawl_visible_text,
-        # ---- past the 50-query graded window: rows-only plumbing ----
         "bpe_token_count": q_bpe_token_count,
         "content_sniff": q_content_sniff,
         # multimodal plumbing (binary payloads; decode stubbed where
@@ -2233,6 +2349,8 @@ def oracle_sql() -> dict[str, str]:
         "count_min_user_freq": SQL_COUNT_MIN,
         "bm25_search": SQL_BM25,
         "stratified_cap": SQL_STRATIFIED_CAP,
+        "decontaminate": SQL_DECONTAMINATE,
+        "lm_perplexity": SQL_LM_PERPLEXITY,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "media_meta": SQL_MEDIA_META,
     }
