@@ -1514,6 +1514,51 @@ FROM d LEFT JOIN stats USING (doc_id)
 """
 
 
+def q_corpus_filter(spark, sf_dir):
+    """The composite FineWeb/Gopher/CCNet-style corpus quality filter:
+    language ID + heuristic quality + repetition gates + corpus-
+    trained bigram-LM perplexity, one keep/drop verdict per document
+    (operators/filters.py). Restricted to doc_id < 300 so the
+    perplexity component matches SQL_LM_PERPLEXITY's training set;
+    the DuckDB oracle composes the four component oracles as nested
+    CTEs — every signal AND the verdict are re-derived."""
+    from notjusthtml_searchengine_spark.operators.filters import corpus_filter
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 300)
+        .select("doc_id", "text")
+    )
+    return corpus_filter(docs, max_ppl=2000.0, min_quality=0.5)
+
+
+def _sql_corpus_filter() -> str:
+    # the component oracles cover ALL documents; restrict each to the
+    # composite's doc_id < 300 base by joining on it (LM is already
+    # restricted to the same set — training-set parity matters there)
+    return f"""
+WITH lid AS ({SQL_LANG_ID}),
+qs AS ({SQL_QUALITY}),
+rep AS ({SQL_REPETITION}),
+ppl AS ({SQL_LM_PERPLEXITY}),
+base AS (SELECT doc_id FROM documents WHERE doc_id < 300)
+SELECT base.doc_id,
+       lid.lang_pred,
+       qs.q,
+       CAST(rep.repetition_ok AS INT) AS repetition_ok,
+       ppl.ppl,
+       CAST(coalesce(
+           lid.lang_pred = 'en' AND qs.q >= 0.5
+           AND rep.repetition_ok AND ppl.ppl <= 2000.0,
+           false) AS INT) AS keep
+FROM base
+LEFT JOIN lid USING (doc_id)
+LEFT JOIN qs USING (doc_id)
+LEFT JOIN rep USING (doc_id)
+LEFT JOIN ppl USING (doc_id)
+"""
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Real BPE tokenization with a tokenizer TRAINED on the corpus
     itself (operators/bpe.py): 12 merges learned from the documents
@@ -2284,6 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # at sf0.001, so nothing is parked ungraded. ----
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
+        "corpus_filter": q_corpus_filter,
         # rows-only kernel demos (U1/U2 over the full corpus; golden +
         # e2e-simulator pinned)
         "crawl_extract_links": q_crawl_extract_links,
@@ -2351,6 +2397,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_cap": SQL_STRATIFIED_CAP,
         "decontaminate": SQL_DECONTAMINATE,
         "lm_perplexity": SQL_LM_PERPLEXITY,
+        "corpus_filter": _sql_corpus_filter(),
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "media_meta": SQL_MEDIA_META,
     }
