@@ -105,6 +105,17 @@ def _parallel_spin_rate(k: int = 8, chunk: int = 2_000_000) -> float | None:
         return None
 
 
+def _bracket_rate(n: int = 3) -> float | None:
+    """One window-quality BRACKET = best of ``n`` back-to-back parallel
+    spin probes. A single ~1s probe swings ±20% on this host from pure
+    scheduler jitter (measured r5: back-to-back 110→164 Mspins in a
+    quiet window) and would misfire the reject gate; the co-tenant
+    episodes the gate exists for last MINUTES and depress all ``n``
+    probes alike, so max() filters jitter without hiding contention."""
+    rates = [r for r in (_parallel_spin_rate() for _ in range(n)) if r]
+    return max(rates) if rates else None
+
+
 def _cpu_times() -> tuple[int, int]:
     """(steal, total) jiffies from /proc/stat — measures how much CPU
     the hypervisor withheld during a run (this host's dominant noise)."""
@@ -211,7 +222,7 @@ def run_crawl(
         cfg=cfg,
     )
     probe_on = os.environ.get("SPARK_GRAFT_BENCH_PROBE", "1") != "0"
-    probe_before = _parallel_spin_rate() if probe_on else None
+    probe_before = _bracket_rate() if probe_on else None
     st0 = _cpu_times()
     t0 = time.perf_counter()
     stats = eng.run(max_rounds=64)
@@ -228,7 +239,7 @@ def run_crawl(
     # after-bracket measured once the JVM is stopped — an idle-but-live
     # executor pool (GC, timer threads) depresses the parallel spin by
     # ~25% and would read as false contention
-    probe_after = _parallel_spin_rate() if probe_on else None
+    probe_after = _bracket_rate() if probe_on else None
     probe_stats = (
         {
             # min(before, after): an attempt is only as good as its
@@ -496,20 +507,53 @@ def main() -> None:
     # a bounded budget) until the parallel spin rate recovers to
     # within tolerance of the best rate seen this run.
     window_tol = float(os.environ.get("SPARK_GRAFT_BENCH_WINDOW_TOL", "0.85"))
-    wait_budget = [float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "600"))]
-    best_rate = [0.0]
+    # Per-PAIR wait budget with a global cap: a single shared pool
+    # (r5's first cut) was exhausted by one long episode at the start
+    # of the run, leaving later pairs to launch straight into whatever
+    # window they found even when the host had recovered.
+    pair_wait_s = float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_S", "480"))
+    total_wait_s = [float(os.environ.get("SPARK_GRAFT_BENCH_WAIT_TOTAL_S", "1500"))]
+    wait_budget = [0.0]
+    # Clean-window REFERENCE rate, in priority order: the env override,
+    # else the last run's ratcheted record (BENCH/clean_rate.json,
+    # ignored after 24h — this host drifts on night timescales), else
+    # in-run ratcheting only. Without a seed, a run that starts INSIDE
+    # an episode ratchets to the episode's rate and self-accepts
+    # (measured r5: an all-contended run read eff 0.334 as 'accepted'
+    # until a late clean probe arrived).
+    clean_rate_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "clean_rate.json"
+    )
+    seed = float(os.environ.get("SPARK_GRAFT_BENCH_REF_MSPINS", "0"))
+    if not seed:
+        try:
+            with open(clean_rate_path) as f:
+                rec = json.load(f)
+            if time.time() - rec.get("ts", 0) < 24 * 3600:
+                # 5% drift allowance so a mildly slower (but fair)
+                # host doesn't read as permanently contended
+                seed = 0.95 * float(rec.get("mspins", 0))
+        except (OSError, ValueError):
+            pass
+    best_rate = [seed]
     waits: list[float] = []
+    bracket_rates: list[float] = []  # observed idle brackets (for the
+    # persistent clean-rate record: probes DURING attempts understate
+    # the host's clean rate whenever the attempt hit contention)
 
     def await_clean_window() -> None:
+        wait_budget[0] = min(pair_wait_s, total_wait_s[0])
         while True:
-            rate = _parallel_spin_rate()
+            rate = _bracket_rate()
             if rate is None:
                 return
+            bracket_rates.append(rate)
             best_rate[0] = max(best_rate[0], rate)
             if rate >= window_tol * best_rate[0] or wait_budget[0] <= 0:
                 return
             pause = min(45.0, wait_budget[0])
             wait_budget[0] -= pause
+            total_wait_s[0] -= pause
             waits.append(round(pause, 1))
             time.sleep(pause)
 
@@ -527,7 +571,10 @@ def main() -> None:
         pool = probe_pool.get(master, [])
         if not pm or not pool:
             return None
-        return round(pm / max(pool), 3)
+        # denominator includes the cross-run reference: quality is
+        # "vs the best this HOST can do", not "vs the best this RUN
+        # happened to see" (an all-contended run must not self-accept)
+        return round(pm / max(max(pool), best_rate[0] or 0.0), 3)
 
     def pair_quality(pair: dict) -> float | None:
         qs = [
@@ -539,7 +586,7 @@ def main() -> None:
         ]
         return min(qs) if qs else None
 
-    max_retry_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRY_PAIRS", "2"))
+    max_retry_pairs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RETRY_PAIRS", "3"))
     for _ in range(attempts):
         pair_list.append(run_pair())
     retried_pairs = 0
@@ -593,11 +640,17 @@ def main() -> None:
                     }
                 )
         # headline pool: quality-accepted pairs only; if the host was
-        # contended for the ENTIRE run, fall back to all pairs + flag
+        # contended for the ENTIRE run, fall back to the LEAST-
+        # contended pair (not the median of all — known-depressed
+        # measurements in the pool only bias the headline further
+        # below truth) and flag the run
         accepted = [p for p in pair_effs if p["accepted"]]
         if not accepted and pair_effs:
             window_contended = True
-            accepted = pair_effs
+            best_q = max(
+                pair_effs, key=lambda p: p.get("window_quality") or 0.0
+            )
+            accepted = [best_q]
         scaling["pair_efficiencies"] = pair_effs
         scaling["accepted_pair_efficiencies"] = accepted
 
@@ -612,6 +665,7 @@ def main() -> None:
         cap_args = ["--host-budget", str(cap)]
 
         def capped_pair() -> dict:
+            await_clean_window()
             cl = crawl_with_probe(f"local[{lo}]", cap_args)
             ch = crawl_with_probe(f"local[{hi}]", cap_args)
             a = cl.get("sustained_pages_per_sec")
@@ -724,11 +778,40 @@ def main() -> None:
             "retried_pairs": retried_pairs,
             "contended": window_contended,
             "waited_s": round(sum(waits), 1),
+            "ref_mspins_seed": round(seed, 1),
             "best_mspins": round(best_rate[0], 1),
             "probe_best_mspins": {
                 m: round(max(v), 2) for m, v in probe_pool.items()
             },
         }
+        # Update the persistent clean-rate record for the next run's
+        # seed. A FRESH higher record survives a contended run (else
+        # one bad run would erase the host's known clean rate), but a
+        # STALE record is replaced by what was actually observed even
+        # if lower — the record decays instead of self-renewing
+        # forever on a host that durably slowed.
+        observed = [r for v in probe_pool.values() for r in v] + bracket_rates
+        if observed:
+            new_rate = max(observed)
+            try:
+                with open(clean_rate_path) as f:
+                    prev = json.load(f)
+                if (
+                    time.time() - prev.get("ts", 0) < 24 * 3600
+                    and prev.get("mspins", 0) > new_rate
+                ):
+                    new_rate = None  # keep the fresh, higher record
+            except (OSError, ValueError):
+                pass
+            if new_rate is not None:
+                try:
+                    os.makedirs(os.path.dirname(clean_rate_path), exist_ok=True)
+                    with open(clean_rate_path, "w") as f:
+                        json.dump(
+                            {"mspins": round(new_rate, 2), "ts": time.time()}, f
+                        )
+                except OSError:
+                    pass
 
     # Full audit detail goes to a file; the FINAL stdout line is a
     # COMPACT summary (the harness captures a bounded output tail and
