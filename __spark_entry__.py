@@ -1559,6 +1559,129 @@ LEFT JOIN ppl USING (doc_id)
 """
 
 
+def q_c4_clean(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) over a
+    line-structured text family built deterministically FROM the
+    documents rows (the corpus ships no newlines/punctuation, so the
+    fixture re-lines each doc's tokens in groups of 4 with a
+    deterministic mix of terminated/unterminated/javascript/lorem-
+    ipsum/curly-brace lines — every rule exercised both ways). The
+    DuckDB oracle rebuilds the SAME texts and re-derives every rule
+    (operators/cleaning.py)."""
+    from notjusthtml_searchengine_spark.operators.cleaning import c4_clean
+    from notjusthtml_searchengine_spark.operators.textops import tokens
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = tokens(F.col("text"))
+    n_lines = F.floor(F.size(toks) / 4).cast("int")
+    idx = F.when(n_lines > 0, F.sequence(F.lit(0), n_lines - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    lines = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+            F.when(((F.col("doc_id") + i) % 3) != 0, F.lit(".")).otherwise(
+                F.lit("")
+            ),
+        ),
+    )
+    built = F.concat(
+        F.when(
+            F.col("doc_id") % 14 == 2,
+            F.array(F.lit("Lorem ipsum dolor sit amet.")),
+        ).otherwise(F.array().cast("array<string>")),
+        lines,
+        F.when(
+            F.col("doc_id") % 11 == 3, F.array(F.lit("var x = { a: 1 };"))
+        ).otherwise(F.array().cast("array<string>")),
+        F.when(
+            F.col("doc_id") % 13 == 5,
+            F.array(F.lit("Please enable javascript now.")),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    relined = docs.select(
+        "doc_id", F.array_join(built, "\n").alias("text")
+    )
+    return c4_clean(relined)
+
+
+SQL_C4_CLEAN = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS tk
+  FROM documents WHERE doc_id < 400),
+relined AS (
+  SELECT doc_id,
+    list_transform(generate_series(0, CAST(len(tk) // 4 AS INT) - 1), i ->
+      array_to_string(tk[i*4+1:i*4+4], ' ')
+      || CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END) AS ls
+  FROM t),
+built AS (
+  SELECT doc_id,
+    array_to_string(
+      (CASE WHEN doc_id % 14 = 2 THEN ['Lorem ipsum dolor sit amet.'] ELSE [] END)
+      || ls
+      || (CASE WHEN doc_id % 11 = 3 THEN ['var x = { a: 1 };'] ELSE [] END)
+      || (CASE WHEN doc_id % 13 = 5 THEN ['Please enable javascript now.'] ELSE [] END),
+      chr(10)) AS text2
+  FROM relined),
+cleaned AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text2, chr(10)), l -> trim(l)),
+      l -> regexp_matches(l, '[.!?"]$')
+           AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 3
+           AND NOT contains(lower(l), 'javascript')) AS kept,
+    len(list_filter(list_transform(string_split(text2, chr(10)), l -> trim(l)),
+      l -> l <> '')) AS total,
+    lower(text2) AS low
+  FROM built)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(total AS BIGINT) AS n_lines_total,
+       CAST(len(kept) >= 3 AND NOT contains(low, 'lorem ipsum')
+            AND NOT contains(low, '{') AS INT) AS doc_ok
+FROM cleaned
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """LM training-sequence packing: lay the corpus out as one
+    deterministic token stream (content-hash order, not scan order)
+    and chunk into 128-token sequences; each doc gets its token span
+    and covering sequence ids. The Spark side is a TWO-PHASE
+    distributed prefix sum (per-bucket totals → bounded bucket-prefix
+    window → within-bucket running sums) with no corpus-wide
+    single-task stage; the oracle is the naive global running sum —
+    identical result (operators/packing.py)."""
+    from notjusthtml_searchengine_spark.operators.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, seq_len=128)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15) AS BIGINT) % 10000 AS bb,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n
+  FROM documents),
+o AS (
+  SELECT doc_id, n,
+         CAST(coalesce(sum(n) OVER (ORDER BY bb, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS start_pos
+  FROM b)
+SELECT doc_id,
+       n AS n_tokens,
+       start_pos,
+       start_pos // 128 AS first_seq,
+       (start_pos + greatest(n - 1, 0)) // 128 AS last_seq,
+       start_pos % 128 AS offset_in_first
+FROM o
+"""
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Real BPE tokenization with a tokenizer TRAINED on the corpus
     itself (operators/bpe.py): 12 merges learned from the documents
@@ -2330,6 +2453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "lm_perplexity": q_lm_perplexity,
         "corpus_filter": q_corpus_filter,
+        "c4_clean": q_c4_clean,
+        "pack_sequences": q_pack_sequences,
         # rows-only kernel demos (U1/U2 over the full corpus; golden +
         # e2e-simulator pinned)
         "crawl_extract_links": q_crawl_extract_links,
@@ -2398,6 +2523,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": SQL_DECONTAMINATE,
         "lm_perplexity": SQL_LM_PERPLEXITY,
         "corpus_filter": _sql_corpus_filter(),
+        "c4_clean": SQL_C4_CLEAN,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "media_meta": SQL_MEDIA_META,
     }
