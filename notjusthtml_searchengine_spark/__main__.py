@@ -51,7 +51,36 @@ def main() -> None:
     ap.add_argument("--match-phash", type=int, default=None, metavar="HASH",
                     help="skip crawling; find images near this pHash")
     ap.add_argument("--limit", type=int, default=20)
+    # training-set mode (crawl state -> packed LM corpus):
+    ap.add_argument("--make-training-set", default=None, metavar="OUT_DIR",
+                    help="skip crawling; run the state dir's pages "
+                    "through clean/dedup/filter/pack into OUT_DIR")
+    ap.add_argument("--seq-len", type=int, default=1024)
+    ap.add_argument("--no-clean", action="store_true",
+                    help="training-set mode: skip C4 line cleaning")
+    ap.add_argument("--filter-lang", default="en",
+                    help="training-set mode: language gate ('' = off)")
+    ap.add_argument("--max-ppl", type=float, default=2000.0)
+    ap.add_argument("--min-quality", type=float, default=0.5)
     args = ap.parse_args()
+
+    if args.make_training_set is not None:
+        from .plans.training import build_training_set
+
+        spark = get_spark(app_name="njh-trainset", master=args.master)
+        spark.sparkContext.setLogLevel("ERROR")
+        stats = build_training_set(
+            spark,
+            args.state,
+            args.make_training_set,
+            seq_len=args.seq_len,
+            clean=not args.no_clean,
+            lang=args.filter_lang or None,
+            max_ppl=args.max_ppl,
+            min_quality=args.min_quality,
+        )
+        print(json.dumps(stats))
+        return
 
     if (
         args.search_keyword is not None

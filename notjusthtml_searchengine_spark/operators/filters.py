@@ -34,7 +34,7 @@ def corpus_filter(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    lang: str = "en",
+    lang: str | None = "en",
     min_quality: float = 0.5,
     max_ppl: float = 2000.0,
     min_count: int = 2,
@@ -42,7 +42,8 @@ def corpus_filter(
 ) -> DataFrame:
     """One row per input doc: (id, lang_pred, q, repetition_ok, ppl,
     keep). ``lang_pred`` is NULL when no stopword voted (treated as
-    not-in-language → dropped); the output is a total labeling so it
+    not-in-language → dropped); ``lang=None`` disables the language
+    gate (multilingual corpora). The output is a total labeling so it
     joins directly as a corpus filter."""
     lid = lang_votes(docs, id_col, text_col).select(id_col, "lang_pred")
     q = docs.select(
@@ -55,7 +56,7 @@ def corpus_filter(
         docs, id_col, text_col, min_count=min_count, alpha=alpha
     ).select(id_col, "ppl")
     keep = (
-        (F.col("lang_pred") == lang)
+        (F.lit(True) if lang is None else (F.col("lang_pred") == lang))
         & (F.col("q") >= min_quality)
         & F.col("repetition_ok")
         & (F.col("ppl") <= max_ppl)
