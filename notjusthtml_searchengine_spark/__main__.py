@@ -62,6 +62,9 @@ def main() -> None:
                     help="training-set mode: language gate ('' = off)")
     ap.add_argument("--max-ppl", type=float, default=2000.0)
     ap.add_argument("--min-quality", type=float, default=0.5)
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="training-set mode: MinHash-LSH near-dup "
+                    "clustering after exact dedup")
     args = ap.parse_args()
 
     if args.make_training_set is not None:
@@ -78,6 +81,7 @@ def main() -> None:
             lang=args.filter_lang or None,
             max_ppl=args.max_ppl,
             min_quality=args.min_quality,
+            near_dedup=args.near_dedup,
         )
         print(json.dumps(stats))
         return

@@ -69,12 +69,17 @@ def build_training_set(
     seq_len: int = 1024,
     clean: bool = True,
     text_dedup: bool = True,
+    near_dedup: bool = False,
+    near_threshold: float = 0.8,
     lang: str | None = "en",
     min_quality: float = 0.5,
     max_ppl: float = 2000.0,
 ) -> dict:
     """Run the full funnel and write the training set. Returns the
-    stage-by-stage stats dict."""
+    stage-by-stage stats dict. ``near_dedup`` adds the MinHash-LSH →
+    Jaccard-verified → connected-components clustering pass
+    (operators/dedup.dedup_clusters) after exact dedup, keeping one
+    canonical doc per near-dup cluster."""
     docs = corpus_from_state(spark, state_dir)
 
     if clean:
@@ -95,6 +100,14 @@ def build_training_set(
             )
             .drop("_fp")
         )
+
+    if near_dedup:
+        from ..operators.dedup import dedup_clusters
+
+        clusters = dedup_clusters(
+            docs, threshold=near_threshold
+        ).filter(F.col("is_canonical"))
+        docs = docs.join(clusters.select("doc_id"), "doc_id")
 
     labeled = docs.join(
         corpus_filter(

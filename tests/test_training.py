@@ -104,3 +104,19 @@ def test_text_dedup_collapses_same_text(spark, crawled_state, tmp_path_factory):
         .count()
     )
     assert a["docs_after_clean_dedup"] == n_distinct_text <= n_raw
+
+
+def test_near_dedup_stage(spark, crawled_state, tmp_path_factory):
+    """The MinHash near-dup stage only ever narrows the funnel and
+    keeps exactly the canonical docs dedup_clusters reports."""
+    out = str(tmp_path_factory.mktemp("ts_near"))
+    near = build_training_set(
+        spark, crawled_state, out, seq_len=64, clean=False,
+        near_dedup=True, lang=None, min_quality=0.0, max_ppl=1e9,
+    )
+    out_b = str(tmp_path_factory.mktemp("ts_exact"))
+    exact = build_training_set(
+        spark, crawled_state, out_b, seq_len=64, clean=False,
+        lang=None, min_quality=0.0, max_ppl=1e9,
+    )
+    assert 0 < near["docs_after_clean_dedup"] <= exact["docs_after_clean_dedup"]
