@@ -1682,6 +1682,53 @@ FROM o
 """
 
 
+def q_frontier_reprioritize(spark, sf_dir):
+    """Authority-driven frontier re-prioritization (the north-star's
+    "priority = depth + domain score"): PageRank over the q_pagerank
+    graph, aggregated to a per-host score (vertex % 50 → host), folded
+    into a 500-row deterministic frontier's priorities in exact
+    integer micro-unit arithmetic (operators/crawl_ops.py
+    reprioritize_frontier). The oracle re-derives the whole chain —
+    unrolled power iteration, host rollup, quantization, integer
+    division — in DuckDB."""
+    from notjusthtml_searchengine_spark.operators.crawl_ops import (
+        reprioritize_frontier,
+    )
+    from notjusthtml_searchengine_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    host = lambda c: F.concat(  # noqa: E731
+        F.lit("h"), (c % 50).cast("string"), F.lit(".example")
+    )
+    frontier = docs.filter(F.col("doc_id") < 500).select(
+        host(F.col("doc_id")).alias("host"),
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 50).cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url_norm"),
+        (F.col("doc_id") % 100).cast("int").alias("priority"),
+        (F.col("doc_id") % 5).cast("int").alias("depth"),
+    )
+    srcs = docs.filter(
+        (F.col("doc_id") < 100) & (F.col("doc_id") % 10 != 0)
+    ).select(F.col("doc_id").alias("src"))
+    edges = (
+        srcs.select(
+            "src",
+            F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"),
+        )
+        .select("src", ((F.col("src") * 7 + F.col("j") * 13) % 100).alias("dst"))
+        .filter(F.col("dst") != F.col("src"))
+    )
+    ranks = pagerank(edges, n_iter=5, damping=0.85, round_to=6)
+    host_scores = ranks.groupBy(host(F.col("vertex")).alias("host")).agg(
+        F.round(F.sum("rank"), 6).alias("score")
+    )
+    return reprioritize_frontier(frontier, host_scores, weight=50)
+
+
 def q_bpe_token_count(spark, sf_dir):
     """Real BPE tokenization with a tokenizer TRAINED on the corpus
     itself (operators/bpe.py): 12 merges learned from the documents
@@ -1765,6 +1812,28 @@ r{k} AS (SELECT verts.v,
 
 
 SQL_PAGERANK = _sql_pagerank()
+
+SQL_FRONTIER_REPRIORITIZE = (
+    "WITH pr AS (\n"
+    + _sql_pagerank()
+    + """
+),
+hs AS (SELECT 'h' || CAST(vertex % 50 AS VARCHAR) || '.example' AS host,
+              round(sum(rank), 6) AS score
+       FROM pr GROUP BY 1),
+hsm AS (SELECT host, CAST(round(score * 1000000, 0) AS BIGINT) AS s_micro FROM hs),
+mx AS (SELECT max(s_micro) AS s_max FROM hsm),
+f AS (SELECT 'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+             'http://h' || CAST(doc_id % 50 AS VARCHAR) || '.example/p/' || CAST(doc_id AS VARCHAR) AS url_norm,
+             CAST(doc_id % 100 AS INT) AS priority,
+             CAST(doc_id % 5 AS INT) AS depth
+      FROM documents WHERE doc_id < 500)
+SELECT f.host, f.url_norm,
+       CAST(f.priority + coalesce((50 * hsm.s_micro) // nullif(mx.s_max, 0), 0) AS INT) AS priority,
+       f.depth
+FROM f LEFT JOIN hsm ON f.host = hsm.host CROSS JOIN mx
+"""
+)
 
 
 def q_connected_components(spark, sf_dir):
@@ -2455,6 +2524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter": q_corpus_filter,
         "c4_clean": q_c4_clean,
         "pack_sequences": q_pack_sequences,
+        "frontier_reprioritize": q_frontier_reprioritize,
         # rows-only kernel demos (U1/U2 over the full corpus; golden +
         # e2e-simulator pinned)
         "crawl_extract_links": q_crawl_extract_links,
@@ -2525,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_filter": _sql_corpus_filter(),
         "c4_clean": SQL_C4_CLEAN,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "frontier_reprioritize": SQL_FRONTIER_REPRIORITIZE,
         "warc_roundtrip": SQL_WARC_ROUNDTRIP,
         "media_meta": SQL_MEDIA_META,
     }

@@ -416,3 +416,54 @@ def seen_anti_join_parts(cands: DataFrame, seen_parts: list[DataFrame]) -> DataF
     10^10-URL frontier ≈ 3 (vs ~10^8 Bloom false-drops).
     """
     return anti_join_parts(cands, seen_parts, key="url_hash")
+
+
+# ---------------------------------------------------------------------------
+# Frontier re-prioritization by host authority (the north-star's
+# "priority = depth + domain score", generalized to the reference's
+# rating-based priorities — the reference itself has no domain score;
+# its priority is the flagged-keyword rating, crawling.go:18-27).
+# ---------------------------------------------------------------------------
+def reprioritize_frontier(
+    frontier: DataFrame,
+    host_scores: DataFrame,
+    weight: int = 100,
+    score_col: str = "score",
+    broadcast_scores: bool = True,
+) -> DataFrame:
+    """Fold a per-host authority score (e.g. PageRank over the crawled
+    link graph, aggregated per host — the signal plans/catalog.py
+    top_pages computes) back into frontier priorities:
+
+        priority += floor(weight * score / max(score))
+
+    computed in exact INTEGER arithmetic (scores quantized to
+    micro-units) so the adjusted priorities — and therefore the crawl
+    order — are bit-reproducible across engines and cluster sizes.
+    Hosts without a score keep their priority (left join, bonus 0).
+
+    Scale posture: the score dim is one row per HOST (~10^7-10^8 at a
+    10^10-URL frontier). ``broadcast_scores=True`` broadcasts it (fine
+    to ~10^6 hosts); above that pass ``False`` — the hash join then
+    shuffles only the skinny (host, score) dim toward the frontier's
+    host-keyed layout, never the frontier rows themselves. max(score)
+    is a 1-row scalar agg, broadcast either way.
+    """
+    micro = F.round(F.col(score_col).cast("double") * F.lit(1_000_000), 0).cast(
+        "bigint"
+    )
+    s = host_scores.select("host", micro.alias("_s_micro"))
+    dim = F.broadcast(s) if broadcast_scores else s
+    mx = s.agg(F.max("_s_micro").alias("_s_max"))
+    bonus = F.expr(
+        f"CAST({int(weight)} AS BIGINT) * _s_micro DIV nullif(_s_max, 0)"
+    )
+    return (
+        frontier.join(dim, "host", "left")
+        .crossJoin(F.broadcast(mx))
+        .withColumn(
+            "priority",
+            (F.col("priority") + F.coalesce(bonus, F.lit(0))).cast("int"),
+        )
+        .drop("_s_micro", "_s_max")
+    )
