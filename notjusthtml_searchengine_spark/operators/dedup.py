@@ -297,3 +297,54 @@ def dedup_clusters(
         F.col(id_col),
         F.coalesce(F.col("component"), F.col(id_col)).alias("cluster_id"),
     ).withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+
+
+def substring_dup_flags(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact-substring duplicate flagging (the document-granularity
+    form of Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better": a k-token span that already appears in an
+    earlier document marks the later one as a duplicate carrier).
+
+    Each k-token shingle is owned by the smallest doc id containing
+    it; a doc is ``is_dup`` when any of its shingles is owned by an
+    earlier doc, and ``dup_of`` names the smallest such owner (the
+    deterministic canonical source). Unlike the Jaccard/MinHash ops
+    this catches verbatim COPIED SPANS between otherwise-different
+    documents — the boilerplate/quotation failure mode n-gram overlap
+    scores dilute away.
+
+    Shape at scale: one map-side shingle explode, one groupBy on the
+    shingle (owner = min id, df = count), one co-partitioned re-join
+    of the same shingle rows onto the owners (both sides hash-
+    partitioned by shingle from the groupBy), one groupBy doc. No
+    pairwise join anywhere — cost is O(total tokens), not O(docs²).
+    ``max_df`` drops shingles present in more than that many docs
+    (site chrome / boilerplate that would otherwise chain unrelated
+    docs; same guard as jaccard_pairs).
+    """
+    sh = word_shingles(docs, id_col, text_col, n=k)
+    owners = sh.groupBy("shingle").agg(
+        F.min(id_col).alias("_owner"), F.count(F.lit(1)).alias("_df")
+    )
+    if max_df is not None:
+        owners = owners.filter(F.col("_df") <= max_df)
+    joined = sh.join(owners, "shingle")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_owner") < F.col(id_col)).cast("bigint")).alias(
+                "n_shared"
+            ),
+            F.min(
+                F.when(F.col("_owner") < F.col(id_col), F.col("_owner"))
+            ).alias("dup_of"),
+        )
+        .withColumn("is_dup", (F.col("n_shared") > 0).cast("int"))
+    )

@@ -101,3 +101,52 @@ def stratified_cap(
         .filter(F.col("_rn") <= cap)
         .drop("_rn", "_salt")
     )
+
+
+def lang_temperature_sample(
+    df: DataFrame,
+    lang_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Multilingual temperature rebalancing (the mBERT / XLM-R /
+    mT5 exponent-smoothing recipe): languages are sampled with
+    probability ∝ p_l^alpha instead of their natural share p_l, which
+    up-weights low-resource languages without flattening the mix.
+
+    Per-language keep rate, anchored so the rarest language keeps
+    everything::
+
+        rate_l = (c_min / c_l) ** (1 - alpha)      (rate ∈ (0, 1])
+
+    (alpha=1 reproduces the natural distribution; alpha=0 caps every
+    language at the rarest one's count in expectation.) The keep
+    decision is the same deterministic hash-bucket draw as
+    ``split_by_hash`` — stable under reruns, appends, and cluster
+    size, and re-derived exactly by the DuckDB oracle. alpha=0.5 (the
+    default, and the common published setting) evaluates via sqrt —
+    correctly-rounded IEEE in both engines, so even the float compare
+    is bit-portable.
+
+    Shape at scale: one groupBy to the per-language count dim
+    (|langs| rows), a broadcast join back, and a pure projection —
+    the corpus is scanned once and never shuffled.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(lang_col).agg(F.count(F.lit(1)).alias("_c"))
+    c_min = F.min("_c").over(Window.partitionBy())
+    exp = 1.0 - alpha
+    ratio = c_min.cast("double") / F.col("_c").cast("double")
+    if abs(exp - 0.5) < 1e-12:
+        rate = F.sqrt(ratio)
+    else:
+        rate = F.pow(ratio, F.lit(exp))
+    rates = counts.select(lang_col, rate.alias("_rate"))
+    b = split_bucket(F.col(key_col))
+    return (
+        df.join(F.broadcast(rates), lang_col)
+        .withColumn(keep_col, (b.cast("double") < F.col("_rate") * _BUCKETS).cast("int"))
+        .drop("_rate")
+    )

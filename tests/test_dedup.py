@@ -189,3 +189,44 @@ def test_dedup_clusters_threshold_1_keeps_only_exact(spark, docs):
     }
     assert out[2] == 0 and out[0] == 0  # exact dup still clusters
     assert out[1] == 1 and out[5] == 5  # near-dups split out
+
+
+def test_substring_dup_flags_known_structure(spark):
+    from notjusthtml_searchengine_spark.operators.dedup import (
+        substring_dup_flags,
+    )
+
+    span = "alpha beta gamma delta epsilon"  # 5 tokens, k=4 below
+    rows = [
+        (1, "one two three " + span),            # owner of the span
+        (2, span + " four five six"),            # copies the span -> dup of 1
+        (3, "totally different words entirely here now"),  # clean
+        (4, "prefix " + span + " suffix"),       # also dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r
+        for r in substring_dup_flags(df, k=4).collect()
+    }
+    assert got[1]["is_dup"] == 0 and got[1]["dup_of"] is None
+    assert got[2]["is_dup"] == 1 and got[2]["dup_of"] == 1
+    assert got[4]["is_dup"] == 1 and got[4]["dup_of"] == 1
+    assert got[3]["is_dup"] == 0
+    # doc 2 shares exactly the two 4-token shingles inside the span
+    assert got[2]["n_shared"] == 2
+
+
+def test_substring_dup_flags_max_df_drops_boilerplate(spark):
+    from notjusthtml_searchengine_spark.operators.dedup import (
+        substring_dup_flags,
+    )
+
+    boiler = "nav menu footer copyright"
+    rows = [(i, f"doc {i} body words here " + boiler) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    # the boilerplate shingle appears in all 5 docs; max_df=3 drops it,
+    # so nothing is flagged
+    got = substring_dup_flags(df, k=4, max_df=3).collect()
+    assert all(r["is_dup"] == 0 for r in got)
+    flagged = substring_dup_flags(df, k=4).filter(F.col("is_dup") == 1)
+    assert flagged.count() == 4  # without the guard, docs 2..5 chain to 1

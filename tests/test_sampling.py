@@ -132,3 +132,43 @@ def test_stratified_cap_hot_stratum(spark):
     counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert counts["hot"] == 100
     assert all(n <= 100 for n in counts.values())
+
+
+def test_lang_temperature_sample_rates_and_determinism(spark):
+    from notjusthtml_searchengine_spark.operators.sampling import (
+        lang_temperature_sample,
+    )
+
+    rows = [(i, "big" if i < 900 else "rare") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = lang_temperature_sample(df, "lang", "doc_id", alpha=0.5)
+    kept = (
+        out.groupBy("lang")
+        .agg(F.sum("keep").alias("k"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by = {r["lang"]: (r["k"], r["n"]) for r in kept}
+    # the rarest language keeps everything (rate = sqrt(100/100) = 1)
+    assert by["rare"] == (100, 100)
+    # the big language keeps ~sqrt(100/900)=1/3 of its rows
+    assert abs(by["big"][0] / 900 - 1 / 3) < 0.05
+    # deterministic: a rerun produces the identical keep set
+    again = lang_temperature_sample(df, "lang", "doc_id", alpha=0.5)
+    assert (
+        out.filter("keep = 1").select("doc_id").exceptAll(
+            again.filter("keep = 1").select("doc_id")
+        ).count()
+        == 0
+    )
+
+
+def test_lang_temperature_alpha_one_keeps_all(spark):
+    from notjusthtml_searchengine_spark.operators.sampling import (
+        lang_temperature_sample,
+    )
+
+    rows = [(i, "a" if i % 3 else "b") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    out = lang_temperature_sample(df, "lang", "doc_id", alpha=1.0)
+    # alpha=1 -> natural distribution -> rate 1 for every language
+    assert out.filter("keep = 0").count() == 0
