@@ -106,9 +106,25 @@ def drain_frontier(
         F.max("host").alias("host"),
     )
     if per_host_budget is not None or host_caps is not None:
-        w_host = Window.partitionBy("host").orderBy(
-            F.desc("priority"), F.asc("url_hash")
-        )
+        # TWO-PHASE host cap for Zipf-head skew (same construction,
+        # same proof as sampling.stratified_cap): a window partitioned
+        # by host alone funnels the head host's ENTIRE candidate set
+        # through one task — at a 10^10-URL frontier the head host is
+        # 10^7+ candidates serialized on the drain's critical path
+        # (measured: the sf1 capped leg's scaling sagged exactly on
+        # the biggest rounds). Phase 1 takes the per-(host, salt)
+        # top-cap — salt = pmod(url_hash, 64) is deterministic, so the
+        # head host fans out over 64 reducers and phase-1 winners are
+        # a guaranteed superset of the per-host top-cap (any row in
+        # the host's global top-cap is in the top-cap of its own salt
+        # bucket, the bucket order being the restriction of the host
+        # order). Phase 2 reruns the host window over the ≤ cap×64
+        # survivors per host. Same (priority desc, url_hash) order in
+        # both phases ⇒ bit-identical to the single-window form (and
+        # to the per_host_cap DuckDB oracle).
+        order = (F.desc("priority"), F.asc("url_hash"))
+        w_salt = Window.partitionBy("host", "_salt").orderBy(*order)
+        w_host = Window.partitionBy("host").orderBy(*order)
         if host_caps is not None:
             batch = batch.join(F.broadcast(host_caps), "host", "left")
             default_cap = (
@@ -120,9 +136,12 @@ def drain_frontier(
         else:
             cap = F.lit(per_host_budget)
         batch = (
-            batch.withColumn("_hr", F.row_number().over(w_host))
+            batch.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(64)))
+            .withColumn("_hr", F.row_number().over(w_salt))
             .filter(F.col("_hr") <= cap)
-            .drop("_hr", "host_cap")
+            .withColumn("_hr", F.row_number().over(w_host))
+            .filter(F.col("_hr") <= cap)
+            .drop("_hr", "_salt", "host_cap")
         )
     if round_budget is not None:
         # Global top-k via orderBy+limit: Catalyst compiles this to

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from notjusthtml_searchengine_spark.session import get_spark
@@ -8,7 +10,10 @@ from notjusthtml_searchengine_spark.sources.corpus import build_corpus, write_co
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "12")
+    s = get_spark(
+        app_name="tests", master=f"local[{cpus}]", shuffle_partitions=8
+    )
     yield s
     s.stop()
 
