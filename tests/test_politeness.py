@@ -76,3 +76,55 @@ def test_global_round_budget(frontier):
     rows = batch.collect()
     assert len(rows) == 7
     assert all(r["priority"] == 90 for r in rows)  # bucket-major
+
+
+def test_drain_two_phase_host_cap_plan(spark, frontier):
+    """Zipf-head skew safety (mirrors the stratified_cap two-phase
+    contract): the FIRST window in the drain partitions by
+    (host, _salt) so the head host's candidates fan out over 64
+    reducers, with the host-only window running second over <= cap*64
+    survivors per host. A single host-partitioned window = the head
+    host's 10^7+ candidates serialized through one task at a 10^10-URL
+    frontier."""
+    batch = drain_frontier(frontier, round_budget=None, per_host_budget=3)
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") >= 2, plan
+    assert "_salt" in plan, plan
+
+
+def test_drain_two_phase_identical_and_hot_host(spark):
+    """One host holds 95% of a 20k-candidate frontier: the drain
+    completes with the exact per-host cap and matches the naive
+    single-window selection row-for-row."""
+    from pyspark.sql.window import Window
+
+    rows = []
+    for i in range(20_000):
+        host = "head.example" if i % 20 != 0 else f"tail{i % 100}.example"
+        url = f"http://{host}/p/{i}"
+        rows.append((url, host, 80 + (i % 3) * 5, 1, 0, xxhash64_str(url)))
+    fr = spark.createDataFrame(rows, schemas.FRONTIER)
+
+    batch = drain_frontier(fr, round_budget=None, per_host_budget=50)
+    counts = {
+        r["host"]: r["n"]
+        for r in batch.groupBy("host").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["head.example"] == 50
+    assert all(n <= 50 for n in counts.values())
+
+    collapsed = fr.groupBy("url_hash", "url_norm").agg(
+        F.max("priority").alias("priority"),
+        F.min("depth").alias("depth"),
+        F.min("round_added").alias("round_added"),
+        F.max("host").alias("host"),
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("url_hash"))
+    naive = (
+        collapsed.withColumn("_hr", F.row_number().over(w))
+        .filter(F.col("_hr") <= 50)
+        .drop("_hr")
+    )
+    a = sorted(r["url_norm"] for r in naive.collect())
+    b = sorted(r["url_norm"] for r in batch.collect())
+    assert a == b
