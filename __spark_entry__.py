@@ -888,12 +888,13 @@ def q_ann_ivf_kmeans(spark, sf_dir):
     return ivf_topk(emb, queries, k=5, nprobe=2, cents=cents)
 
 
-def _sql_ann_ivf_kmeans(k: int = 8, n_iter: int = 2) -> str:
-    """DuckDB mirror of kmeans_centroids + ivf_topk: identical pivot
-    init, the same Lloyd iterations unrolled (assignment by rounded
-    cosine with lowest-cid tie-break; per-cluster element-wise bigint
-    sums; empty clusters keep the previous centroid), then the same
-    probe/rank tail as SQL_ANN_IVF against the trained centroids."""
+def _sql_kmeans_prefix(k: int = 8, n_iter: int = 2) -> str:
+    """Shared DuckDB mirror of kmeans_centroids + assignment:
+    identical pivot init, the same Lloyd iterations unrolled
+    (assignment by rounded cosine with lowest-cid tie-break;
+    per-cluster element-wise bigint sums; empty clusters keep the
+    previous centroid), ending at the ``assign`` CTE (vec_id, vq,
+    cid). Tail CTEs differ per consumer (ann_ivf_kmeans, semdedup)."""
     cos = (
         "round(list_dot_product({a}, {b}) / "
         "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
@@ -931,7 +932,18 @@ assign AS (
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {cos.format(a='e.vq', b='c.cv')} DESC, c.cid) AS rk
     FROM e CROSS JOIN {last} c) t
-  WHERE rk = 1),
+  WHERE rk = 1)"""
+
+
+def _sql_ann_ivf_kmeans(k: int = 8, n_iter: int = 2) -> str:
+    """kmeans training prefix + the same probe/rank tail as
+    SQL_ANN_IVF against the trained centroids."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
+    )
+    last = f"c{n_iter}"
+    return f"""{_sql_kmeans_prefix(k, n_iter)},
 q AS (SELECT vec_id AS qid, vq AS qq FROM e WHERE vec_id < 3),
 probes AS (
   SELECT qid, qq, cid FROM (
@@ -952,6 +964,48 @@ SELECT qid, vec_id AS neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM r WHERE
 
 
 SQL_ANN_IVF_KMEANS = _sql_ann_ivf_kmeans()
+
+
+def q_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space (the same exact-integer Lloyd training as ann_ivf_kmeans),
+    then flag within-cluster semantic duplicates by quantized cosine
+    >= 0.5 against earlier members — lowest id survives. Training AND
+    the pairwise flagging re-derive bit-identically in DuckDB."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semdedup_flags(emb, k_clusters=8, threshold=0.5, n_iter=2)
+
+
+def _sql_semdedup(k: int = 8, n_iter: int = 2, threshold: float = 0.5) -> str:
+    """kmeans training prefix + the within-cluster earlier-member
+    pairwise tail (mirrors similarity.semdedup_flags)."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "sqrt(list_dot_product({a}, {a}) * list_dot_product({b}, {b})), 4)"
+    )
+    return f"""{_sql_kmeans_prefix(k, n_iter)},
+pairs AS (
+  SELECT l.cid, l.vec_id AS i, r.vec_id AS j,
+         {cos.format(a='l.vq', b='r.vq')} AS cos
+  FROM assign l JOIN assign r
+    ON l.cid = r.cid AND r.vec_id < l.vec_id),
+agg AS (
+  SELECT cid, i,
+         max(cos) AS max_cos,
+         min(CASE WHEN cos >= {threshold} THEN j END) AS dup_of
+  FROM pairs GROUP BY cid, i)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id, g.max_cos,
+       CAST(CASE WHEN g.dup_of IS NOT NULL THEN 1 ELSE 0 END AS INT) AS is_dup,
+       g.dup_of
+FROM assign a LEFT JOIN agg g ON a.cid = g.cid AND a.vec_id = g.i
+"""
+
+
+SQL_SEMDEDUP = _sql_semdedup()
 
 
 def q_embedding_neardup(spark, sf_dir):
@@ -2679,7 +2733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dim_lookup_join": q_dim_lookup_join,
         # training-data pipeline operators — all oracle-backed
         "dedup_exact": q_dedup_exact,
-        "dedup_ngram_jaccard": q_dedup_jaccard,
+        "semdedup": q_semdedup,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "ann_brute_topk": q_ann_brute_topk,
@@ -2738,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe": q_ann_lsh_multiprobe,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_neardup": q_embedding_neardup,
+        "dedup_ngram_jaccard": q_dedup_jaccard,
         # rows-only kernel demos (U1/U2 over the full corpus; golden +
         # e2e-simulator pinned)
         "crawl_extract_links": q_crawl_extract_links,
@@ -2775,6 +2830,7 @@ def oracle_sql() -> dict[str, str]:
         "dim_lookup_join": SQL_DIM_LOOKUP,
         "dedup_exact": SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": SQL_DEDUP_JACCARD,
+        "semdedup": SQL_SEMDEDUP,
         "dedup_minhash_lsh": SQL_MINHASH_LSH,
         "dedup_clusters": SQL_DEDUP_CLUSTERS,
         "simhash": SQL_SIMHASH,

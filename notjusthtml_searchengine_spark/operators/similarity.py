@@ -359,3 +359,88 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semdedup_flags(
+    embeddings: DataFrame,
+    k_clusters: int = 8,
+    threshold: float = 0.97,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
+    efficient learning at web-scale through semantic deduplication"):
+    cluster the embedding space with k-means, then within each cluster
+    flag every document whose cosine similarity to an EARLIER cluster
+    member reaches ``threshold`` — the lowest-id member of each
+    semantic group survives as canonical. Catches paraphrases and
+    template re-writes that exact/MinHash/SimHash dedup (string-space)
+    cannot see.
+
+    Returns (id, cluster_id, max_cos, is_dup, dup_of): ``max_cos`` is
+    the similarity to the closest earlier member (NULL for the
+    cluster's first/loner rows), ``dup_of`` the smallest earlier id
+    over the threshold.
+
+    Determinism / oracle: centroids default to ``kmeans_centroids``
+    (exact-integer Lloyd — rational sum-vector centroids), assignment
+    ties break to the lowest cid, and cosines are the quantized
+    4-decimal form — the whole pass (training included) re-derives
+    bit-identically in DuckDB.
+
+    Scale shape: assignment is one broadcast join (k rows) over the
+    full scan; the pairwise stage self-joins ON cluster_id — hash-
+    partitioned by cluster, never a global crossJoin — at the paper's
+    operating point (k scaled so clusters average ~1k members, e.g.
+    k=100k for 10^8 docs) Σ|c|² stays ~1k× corpus size. A runaway
+    cluster (embedding-space hub) is the same hot-key problem as every
+    other op here: cap it first with the stratified_cap two-phase
+    pattern on cluster_id, or raise k."""
+    if cents is None:
+        cents = kmeans_centroids(
+            embeddings, k=k_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    e = embeddings.select(F.col(id_col), quantized(F.col(vec_col)).alias("vq"))
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("c_cos"), F.asc("cid"))
+    assigned = (
+        e.join(F.broadcast(cents))
+        .withColumn("c_cos", cosine_q(F.col("vq"), F.col("cv")))
+        .withColumn("rk", F.row_number().over(w_assign))
+        .filter(F.col("rk") == 1)
+        .select(F.col(id_col), "vq", "cid")
+    )
+    left = assigned.select(
+        "cid", F.col(id_col).alias("_i"), F.col("vq").alias("_vi")
+    )
+    right = assigned.select(
+        "cid", F.col(id_col).alias("_j"), F.col("vq").alias("_vj")
+    )
+    agg = (
+        left.join(right, "cid")
+        .filter(F.col("_j") < F.col("_i"))
+        .withColumn("_cos", cosine_q(F.col("_vi"), F.col("_vj")))
+        .groupBy("cid", "_i")
+        .agg(
+            F.max("_cos").alias("max_cos"),
+            F.min(
+                F.when(F.col("_cos") >= F.lit(threshold), F.col("_j"))
+            ).alias("dup_of"),
+        )
+        .withColumnRenamed("_i", id_col)
+    )
+    return (
+        assigned.drop("vq")
+        .join(agg, ["cid", id_col], "left")
+        .select(
+            F.col(id_col),
+            F.col("cid").cast("bigint").alias("cluster_id"),
+            F.col("max_cos"),
+            F.when(F.col("dup_of").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("is_dup"),
+            F.col("dup_of"),
+        )
+    )

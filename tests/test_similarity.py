@@ -286,3 +286,44 @@ def test_lsh_multiprobe_validation(spark, emb):
         lsh_topk(emb, q, dim=64, n_planes=4, n_probes=6)  # > n_planes+1
     with _pt.raises(ValueError):
         lsh_topk(emb, q, dim=64, n_planes=4, n_probes=0)
+
+
+def test_semdedup_flags_planted_semantic_dups(spark, emb):
+    """The planted near-duplicates of vec 0 (ids 100, 101) land in
+    vec 0's cluster and are flagged as semantic dups of an earlier
+    member, with vec 0 itself surviving as canonical; dup_of points at
+    the smallest earlier over-threshold member."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    out = {r["vec_id"]: r for r in semdedup_flags(
+        emb, k_clusters=4, threshold=0.95, n_iter=2
+    ).collect()}
+    assert len(out) == emb.count()
+    assert out[100]["is_dup"] == 1 and out[100]["dup_of"] == 0
+    assert out[101]["is_dup"] == 1 and out[101]["dup_of"] == 0
+    assert out[0]["is_dup"] == 0  # lowest id of the group is canonical
+    # same cluster for the semantic group
+    assert out[100]["cluster_id"] == out[0]["cluster_id"]
+    assert out[101]["cluster_id"] == out[0]["cluster_id"]
+    # max_cos populated only when an earlier member exists
+    firsts = [r for r in out.values() if r["max_cos"] is None]
+    assert all(r["is_dup"] == 0 for r in firsts)
+
+
+def test_semdedup_no_global_crossjoin(spark, emb):
+    """The pairwise stage must self-join ON cluster_id (hash-
+    partitioned per cluster) — a CartesianProduct/BroadcastNestedLoop
+    over the corpus would be O(N^2) at scale."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    plan = (
+        semdedup_flags(emb, k_clusters=4, threshold=0.95, n_iter=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the only joins allowed are the broadcast centroid joins and the
+    # cid-keyed pair join / result join
+    assert "CartesianProduct" not in plan, plan
