@@ -41,17 +41,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # crawl-semantic operators on oracle tables
 # ---------------------------------------------------------------------------
 def q_rating_theta_join(spark, sf_dir):
-    """J5+A1: keyword x flagged-word containment theta-join + SUM
-    (crawling.go:109-123). visibility := (n_chars % 7) + 1."""
+    """J5+A1: keyword x flagged-word containment semantics
+    (crawling.go:109-123). visibility := (n_chars % 7) + 1.
+
+    The config-size flagged list is unrolled into ONE whole-stage-
+    codegen projection + hash aggregate — the same construction the
+    round driver uses (crawl_ops.link_rating_expr); the general BNLJ
+    theta-join operator form remains crawl_ops.link_rating. Result is
+    identical to the former broadcast-BNLJ form: each (doc, word)
+    containment term is the same small-integer product, a non-matching
+    word contributes 0 instead of no row, and the per-doc sum of
+    exactly-representable integers is order-independent (r6 oracle
+    re-verified at sf0.001/0.01/0.1)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", ((F.col("n_chars") % 7) + 1).cast("int").alias("visibility")
     )
-    flagged = spark.createDataFrame(FLAGGED, "word string, priority int")
-    joined = docs.join(F.broadcast(flagged), F.expr("contains(text, word)"), "left")
-    return joined.groupBy("doc_id").agg(
-        F.coalesce(
-            F.sum(F.col("visibility") * 2 * F.col("priority")), F.lit(0)
-        ).cast("double").alias("rating")
+    term = None
+    for word, prio in FLAGGED:
+        t = F.when(
+            F.col("text").contains(word), F.col("visibility") * 2 * F.lit(prio)
+        ).otherwise(F.lit(0))
+        term = t if term is None else term + t
+    return docs.groupBy("doc_id").agg(
+        F.coalesce(F.sum(term), F.lit(0)).cast("double").alias("rating")
     )
 
 

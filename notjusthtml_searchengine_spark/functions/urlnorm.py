@@ -101,8 +101,31 @@ def canonicalize(raw: str) -> str | None:
     )
 
 
+# Fast-path shape for resolve(): an ABSOLUTE http(s) URL whose every
+# character passes the whole parse→resolve→re-serialize round trip
+# unchanged. The alphabet is the intersection of Go's raw-keep sets
+# and Python's urljoin-neutral characters: no '%' (escape handling),
+# no '?'/'#' (query/fragment split), no ';' (urljoin's urlparse
+# round-trip drops an empty params segment: 'p;' → 'p'), and no
+# exact '.'/'..' path segments (RFC 3986 dot-segment removal). For a
+# match, resolve(base, ref) == ref for every base — brute-verified
+# against the slow path in tests/test_urlnorm.py. At crawl scale the
+# overwhelming majority of extracted hrefs take this path (~20x
+# cheaper than the urljoin+canonicalize round trip, measured r6 —
+# U1's per-link cost was 39% URL resolution).
+import re as _re
+
+_CANONICAL_ABS = _re.compile(
+    r"^https?://[A-Za-z0-9._~!$&'()*+,=\-]+(?::\d+)?"
+    r"(?:/[A-Za-z0-9._~!$&'()*+,=:@\-]*)*$"
+)
+
+
 def resolve(base: str, ref: str) -> str | None:
     """Go ``base.ResolveReference(ref)`` → serialized string."""
+    if _CANONICAL_ABS.match(ref) and "/./" not in ref and "/../" not in ref \
+            and not ref.endswith("/.") and not ref.endswith("/.."):
+        return ref
     try:
         return canonicalize(urljoin(base, ref))
     except ValueError:

@@ -237,6 +237,25 @@ def link_rating(keywords: DataFrame, flagged: DataFrame) -> DataFrame:
     return matched
 
 
+def rating_term_expr(
+    flagged_rows: list[tuple[str, int]],
+    text_col: str = "text",
+    vis_col: str = "visibility",
+):
+    """Per-keyword-row rating term, unrolled over a config-size
+    flagged list into one codegen expression. NULL text (the
+    zero-keyword link rows of the flat extraction frame) contributes
+    exactly 0.0 — so summing the term over ALL flat rows of a link
+    equals the keyword-only sum the join form computed."""
+    expr = F.lit(0.0)
+    for word, prio in flagged_rows:
+        expr = expr + F.when(
+            F.col(text_col).contains(word),
+            F.col(vis_col).cast("double") * float(FLAG_WEIGHT) * float(prio),
+        ).otherwise(0.0)
+    return expr
+
+
 def link_rating_expr(keywords: DataFrame, flagged_rows: list[tuple[str, int]]) -> DataFrame:
     """Unrolled form of link_rating for config-size flagged lists: the
     containment tests compile into ONE whole-stage-codegen projection
@@ -245,14 +264,10 @@ def link_rating_expr(keywords: DataFrame, flagged_rows: list[tuple[str, int]]) -
     small integers in double — order-independent); the round driver
     uses this when the flagged list is config-sized, the BNLJ form
     remains the general-operator path (J5)."""
-    expr = F.lit(0.0)
-    for word, prio in flagged_rows:
-        expr = expr + F.when(
-            F.col("text").contains(word),
-            F.col("visibility").cast("double") * float(FLAG_WEIGHT) * float(prio),
-        ).otherwise(0.0)
     return (
-        keywords.select("link_id", expr.alias("_r"))
+        keywords.select(
+            "link_id", rating_term_expr(flagged_rows).alias("_r")
+        )
         .groupBy("link_id")
         .agg(F.sum("_r").alias("rating"))
     )

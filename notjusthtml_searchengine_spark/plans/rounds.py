@@ -193,6 +193,8 @@ class CrawlEngine:
             if (robots_path and cfg.use_robots)
             else None
         )
+        # memoized static robots view (see _robots_view)
+        self._static_rules: DataFrame | None = None
 
     # ------------------------------------------------------------------
     def bootstrap(self) -> None:
@@ -344,10 +346,27 @@ class CrawlEngine:
         """Effective robots rules at round start: the pre-supplied
         table merged with rules derived from robots.txt bodies fetched
         in PRIOR rounds (sink "robots"), latest per host."""
+        has_fetched = self.cfg.fetch_robots_txt and self.state.sink_exists(
+            "robots"
+        )
+        if self.robots is not None and not has_fetched:
+            # Static rules (no in-loop ingestion yet): resolve the
+            # latest-per-host view ONCE and materialize it with
+            # localCheckpoint — the rules dim is per-host config scale,
+            # and without this every round re-ran the scan + window
+            # inside the broadcast build of BOTH consumers (batch mark
+            # + candidate filter), two extra shuffle stages per round
+            # for an unchanged result (guide §2.4: remove repeated
+            # exchanges of static inputs).
+            if self._static_rules is None:
+                self._static_rules = self._latest_per_host(
+                    self.robots.withColumn("_src", F.lit(0))
+                ).localCheckpoint(eager=True)
+            return self._static_rules
         base = None
         if self.robots is not None:
             base = self.robots.withColumn("_src", F.lit(0))
-        if self.cfg.fetch_robots_txt and self.state.sink_exists("robots"):
+        if has_fetched:
             fetched = (
                 self.spark.read.schema(schemas.ROBOTS)
                 .parquet(self.state.sink_glob("robots"))
@@ -493,6 +512,7 @@ class CrawlEngine:
                 batch, robots_rules_df, exempt_robots_txt=True
             )
         batch = batch.persist(_CACHE)
+        self.spark.sparkContext.setJobDescription(f"r{r:05d}:drain+stats")
         n_batch, batch_bytes = self._batch_stats(batch)
         broadcast_batch = batch_bytes <= cfg.broadcast_max_bytes
         resized = self._size_shuffle(n_batch, prev_avg_bytes)
@@ -842,21 +862,38 @@ class CrawlEngine:
             "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
         ).persist(_CACHE)
 
-        links = flat.filter(F.col("kw_idx").isNull() | (F.col("kw_idx") == 0)).select(
-            "origin_url", "depth", "time_found", "pos", "dest_url", "link_id"
-        )
         keywords = flat.filter(F.col("kw_idx").isNotNull()).select(
             "link_id", "visibility", "text"
         )
         pending.append((keywords, "link_keywords"))
 
         if len(self.flagged_rows) <= 512:
-            ratings = ops.link_rating_expr(keywords, self.flagged_rows)
+            # FUSED rating (r6): one hash aggregate over the flat frame
+            # replaces the former keywords-groupBy exchange PLUS the
+            # links⋈ratings join (its own exchange + sort). Map-side
+            # partial aggregation collapses the per-keyword rows into
+            # one row per link before the exchange, so exactly one
+            # link-sized shuffle remains where three link-sized stages
+            # ran before (guide §2.4/§2.3). Equivalence: the per-row
+            # term is 0.0 for NULL-text (zero-keyword) rows — exactly
+            # the coalesce(rating, 0.0) of the join form — and the
+            # summed terms are small exact integers in double, so the
+            # sum is order-independent (pinned by the e2e simulator
+            # equality tests).
+            term = ops.rating_term_expr(self.flagged_rows)
+            rated = flat.groupBy(
+                "link_id", "origin_url", "depth", "time_found", "dest_url"
+            ).agg(F.sum(term).alias("rating"))
         else:
+            links = flat.filter(
+                F.col("kw_idx").isNull() | (F.col("kw_idx") == 0)
+            ).select(
+                "origin_url", "depth", "time_found", "pos", "dest_url", "link_id"
+            )
             ratings = ops.link_rating(keywords, self.flagged)
-        rated = links.join(ratings, "link_id", "left").withColumn(
-            "rating", F.coalesce(F.col("rating"), F.lit(0.0))
-        )
+            rated = links.join(ratings, "link_id", "left").withColumn(
+                "rating", F.coalesce(F.col("rating"), F.lit(0.0))
+            )
         rated = ops.with_link_priority(rated).persist(_CACHE)
 
         link_rels = rated.select(
@@ -1020,6 +1057,7 @@ class CrawlEngine:
         # scheduler overlaps the jobs, hiding per-job launch latency).
         from concurrent.futures import ThreadPoolExecutor
 
+        t_preflush = time.monotonic()
         bucketed_names = {
             "frontier_full",
             "frontier_delta",
@@ -1028,8 +1066,14 @@ class CrawlEngine:
             "seen_full",
         }
 
+        sink_ms: dict[str, int] = {}
+
         def _flush(t):
             df, name = t
+            # job description is thread-local — each concurrent sink
+            # write is labelled in the UI/event log (guide §1.5)
+            self.spark.sparkContext.setJobDescription(f"r{r:05d}:sink:{name}")
+            ts = time.monotonic()
             if name == "sites_keys":
                 self.state.write_bucketed(
                     df, r, name, cfg.n_buckets, bucket_col="site_id"
@@ -1038,13 +1082,20 @@ class CrawlEngine:
                 self.state.write_bucketed(df, r, name, cfg.n_buckets)
             else:
                 self._write(df, r, name)
+            sink_ms[name] = int((time.monotonic() - ts) * 1000)
 
-        with ThreadPoolExecutor(max_workers=int(cfg.extra.get("write_threads", 6))) as pool:
+        # 12 concurrent writer threads: the dozen per-round sink jobs
+        # are individually tiny, so at 6 threads the flush ran two
+        # serial waves whose second wave was latency, not throughput
+        # (the scheduler overlaps all jobs fine; measured r6).
+        with ThreadPoolExecutor(max_workers=int(cfg.extra.get("write_threads", 12))) as pool:
             list(pool.map(_flush, pending))
+        t_flush = time.monotonic()
 
         # Round counters: ONE post-flush aggregation job over the (now
         # materialized) cached frames — replaces the four standalone
         # count jobs the round used to run before flushing.
+        self.spark.sparkContext.setJobDescription(f"r{r:05d}:counters")
         zero = F.lit(0).cast("long").alias("v")
         tagged = (
             ok.select(F.lit("ok").alias("k"), F.col("size").cast("long").alias("v"))
@@ -1089,20 +1140,22 @@ class CrawlEngine:
             else float(cfg.est_page_bytes),
             "shuffle_partitions": shuffle_parts,
         }
-        round_stats = self.spark.createDataFrame(
-            [
-                (
-                    r,
-                    pages_fetched,
-                    links_found,
-                    n_new_frontier,
-                    n_errors,
-                    wall_ms,
-                )
-            ],
-            schemas.ROUND_STATS,
+        t_counters = time.monotonic()
+        self.spark.sparkContext.setJobDescription(None)
+        # round_stats is ONE driver-known row — writing it through a
+        # Spark job cost a full job launch per round; pyarrow writes
+        # the identical parquet schema directly (readers are unchanged:
+        # schema'd parquet scans over the sink glob).
+        self.state.write_round_stats(
+            r, pages_fetched, links_found, n_new_frontier, n_errors, wall_ms
         )
-        self._write(round_stats, r, "round_stats")
+        if cfg.extra.get("phase_timings"):
+            stats["sink_ms"] = sink_ms
+            stats["phase_ms"] = {
+                "pre_flush": int((t_preflush - t0) * 1000),
+                "flush": int((t_flush - t_preflush) * 1000),
+                "counters": int((t_counters - t_flush) * 1000),
+            }
         self.state.commit_round(r, stats)
         if cfg.gc_state and r % cfg.compact_seen_every == 0:
             stats["gc_removed"] = len(

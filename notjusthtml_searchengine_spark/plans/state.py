@@ -166,6 +166,36 @@ class CrawlState:
                     dropped.append(r)
         return dropped
 
+    def write_round_stats(
+        self,
+        r: int,
+        pages_fetched: int,
+        links_found: int,
+        new_frontier: int,
+        errors: int,
+        wall_ms: int,
+    ) -> None:
+        """Write the one-row round_stats sink directly with pyarrow —
+        byte-compatible with the former Spark-written parquet (same
+        column names/types as schemas.ROUND_STATS) without paying a
+        Spark job launch for a single driver-known row per round."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        out = self.table_path(r, "round_stats")
+        os.makedirs(out, exist_ok=True)
+        tbl = pa.table(
+            {
+                "round": pa.array([r], pa.int32()),
+                "pages_fetched": pa.array([pages_fetched], pa.int64()),
+                "links_found": pa.array([links_found], pa.int64()),
+                "new_frontier": pa.array([new_frontier], pa.int64()),
+                "errors": pa.array([errors], pa.int64()),
+                "wall_ms": pa.array([wall_ms], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, os.path.join(out, "part-00000.parquet"))
+
     def sink_glob(self, name: str) -> str:
         """Read-path glob for a sink across all rounds."""
         return os.path.join(self.root, "rounds", "r*", name)

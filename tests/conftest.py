@@ -10,7 +10,11 @@ from notjusthtml_searchengine_spark.sources.corpus import build_corpus, write_co
 
 @pytest.fixture(scope="session")
 def spark():
-    cpus = os.environ.get("SPARK_GRAFT_TEST_CPUS", "12")
+    # default bounded by the machine so small CI hosts aren't
+    # oversubscribed (ADVICE r5); SPARK_GRAFT_TEST_CPUS still overrides
+    cpus = os.environ.get(
+        "SPARK_GRAFT_TEST_CPUS", str(min(os.cpu_count() or 4, 12))
+    )
     s = get_spark(
         app_name="tests", master=f"local[{cpus}]", shuffle_partitions=8
     )

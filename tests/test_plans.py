@@ -42,11 +42,27 @@ def test_dims_join_is_broadcast(spark):
     assert "SortMergeJoin" not in p
 
 
-def test_rating_theta_join_is_broadcast_nested_loop(spark):
+def test_rating_unrolled_projection_no_join(spark):
+    """q_rating_theta_join (r6): the config-size flagged list is
+    unrolled into one whole-stage-codegen projection + hash aggregate
+    — no join node at all (the former BroadcastNestedLoopJoin
+    evaluated the same containment terms row-at-a-time outside
+    codegen). The general theta-join operator form is still the BNLJ:
+    crawl_ops.link_rating plans one below."""
     import __spark_entry__ as entry
 
     p = plan_of(entry.q_rating_theta_join(spark, SF))
-    assert "BroadcastNestedLoopJoin" in p
+    assert "Join" not in p
+    assert "HashAggregate" in p
+
+    from notjusthtml_searchengine_spark.operators import crawl_ops as ops
+
+    kw = spark.createDataFrame(
+        [(1, 3, "spark data")], "link_id long, visibility int, text string"
+    )
+    fl = spark.createDataFrame([("spark", 3)], "word string, priority int")
+    p2 = plan_of(ops.link_rating(kw, fl))
+    assert "BroadcastNestedLoopJoin" in p2
 
 
 def test_seen_anti_join_shape(spark):

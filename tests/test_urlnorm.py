@@ -148,3 +148,56 @@ def test_canonicalize_idempotent(url):
         assert not _valid_escapes(url)
         return
     assert canonicalize(c1) == c1
+
+
+def test_resolve_fast_path_matches_slow_path():
+    """r6: resolve() short-circuits already-canonical absolute URLs
+    (one regex match) — brute-differential against the full
+    urljoin+canonicalize round trip over an adversarial generator
+    biased toward the fast-path boundary: dot segments ('.', '..',
+    '...', '.x'), ';' (urljoin params quirk), '%', '?', '#', ports,
+    empty paths, uppercase schemes/hosts."""
+    import random
+    from urllib.parse import urljoin as _uj
+
+    from notjusthtml_searchengine_spark.functions.urlnorm import (
+        canonicalize,
+        resolve,
+    )
+
+    def slow(base, ref):
+        try:
+            return canonicalize(_uj(base, ref))
+        except ValueError:
+            return None
+
+    rng = random.Random(99)
+    alpha = "abcXYZ019._~!$&'()*+,=-"
+    seg_pool = [".", "..", "...", ".x", "x.", ";", "a;b", "a%20b", "p"]
+    bases = [
+        "http://basehost.example/p/1",
+        "https://B.example/a/b?q=1#f",
+        "http://h",
+    ]
+    for i in range(20000):
+        host = "".join(rng.choice(alpha) for _ in range(rng.randrange(1, 10)))
+        port = f":{rng.randrange(1, 65535)}" if rng.random() < 0.2 else ""
+        segs = [
+            rng.choice(seg_pool)
+            if rng.random() < 0.3
+            else "".join(
+                rng.choice(alpha + ":@") for _ in range(rng.randrange(0, 7))
+            )
+            for _ in range(rng.randrange(0, 4))
+        ]
+        path = "/" + "/".join(segs) if segs else rng.choice(["", "/"])
+        scheme = rng.choice(["http", "https", "HTTP", "ftp"])
+        tail = rng.choice(["", "", "", "?q=1", "#f", "%7e", "%zz"])
+        u = f"{scheme}://{host}{port}{path}{tail}"
+        base = rng.choice(bases)
+        assert resolve(base, u) == slow(base, u), (base, u)
+    # relative refs always take the slow path
+    for ref in ["/p/7", "p/7", "../x", "?q", "#f", "//other.example/z"]:
+        assert resolve("http://a.example/p/5", ref) == slow(
+            "http://a.example/p/5", ref
+        )
