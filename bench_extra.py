@@ -56,6 +56,7 @@ def main() -> None:
     ap.add_argument("--crawl-profile", action="store_true")
     ap.add_argument("--master", default=None)
     ap.add_argument("--pages", type=int, default=96000)
+    ap.add_argument("--host-budget", type=int, default=None)
     args = ap.parse_args()
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -139,7 +140,7 @@ def main() -> None:
         cfg = CrawlConfig(
             state_dir=state_dir,
             round_budget=None,
-            per_host_budget=None,
+            per_host_budget=args.host_budget,
             use_robots=True,
             bloom_prefilter=False,
             n_buckets=32,

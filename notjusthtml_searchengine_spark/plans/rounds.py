@@ -511,15 +511,28 @@ class CrawlEngine:
             batch = ops.robots_mark(
                 batch, robots_rules_df, exempt_robots_txt=True
             )
-        batch = batch.persist(_CACHE)
+        # localCheckpoint, not persist (r6): the batch is consumed by a
+        # dozen downstream sink actions, and EVERY one of them was
+        # re-analyzing the full drain lineage (frontier-view per-part
+        # tombstone joins + the two politeness windows) on the DRIVER —
+        # measured 11s of serial plan-construction gap per big capped
+        # round at local[8] vs 1.5s uncapped, the single-threaded cost
+        # that collapsed the capped leg's core scaling (guide §7.3
+        # "planning time itself can become the bottleneck", §3.3
+        # "materialising an intermediate truncates the plan").
+        # Checkpointing materializes the same skinny frame the persist
+        # did, but downstream plans now start from a short scan. Fault
+        # tolerance of this intermediate is round-local (the round
+        # re-runs from the manifest on failure), so cutting lineage is
+        # safe — same trade as graph.py's iteration checkpoints.
         self.spark.sparkContext.setJobDescription(f"r{r:05d}:drain+stats")
+        batch = batch.localCheckpoint(eager=True)
         n_batch, batch_bytes = self._batch_stats(batch)
         broadcast_batch = batch_bytes <= cfg.broadcast_max_bytes
         resized = self._size_shuffle(n_batch, prev_avg_bytes)
         if resized is not None:
             shuffle_parts = resized
         if n_batch == 0:
-            batch.unpersist()
             return {"done": True, "round": r, "pages_fetched": 0}
 
         # ---- robots-first hold-back -----------------------------------
@@ -856,11 +869,17 @@ class CrawlEngine:
             F.unix_micros("warc_ts").alias("time_found"),
             "html",
         )
+        # lazy localCheckpoint instead of persist (r6): same serialized
+        # storage level and the same once-per-round materialization
+        # (first flush job computes it under per-partition cache
+        # locks), but downstream plans — rated, candidates, seen chain,
+        # half the sinks — analyze a short scan instead of the whole
+        # scan⋈batch⋈mapInPandas lineage on the driver (guide §7.3).
         flat = extract_links_flat(
             htmlable, url_col="origin_url", sniff_gate=True
         ).withColumn(
             "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
-        ).persist(_CACHE)
+        ).localCheckpoint(eager=False, storageLevel=_CACHE)
 
         keywords = flat.filter(F.col("kw_idx").isNotNull()).select(
             "link_id", "visibility", "text"
@@ -1162,7 +1181,10 @@ class CrawlEngine:
                 self.state.gc_state(r, keep_rounds=1, spark=self.spark)
             )
 
-        unpersist = [batch, meta, flat, rated, new, hashed, probed, round_robots]
+        # batch/flat are localCheckpoint'd (not persisted) — their
+        # blocks are released by the ContextCleaner when the round's
+        # references drop
+        unpersist = [meta, rated, new, hashed, probed, round_robots]
         if cfg.cache_fat:
             unpersist.append(gated)
         for df in unpersist:
