@@ -132,7 +132,25 @@ def main() -> None:
         )
         master = args.master or f"local[{cpus}]"
         n = int(master.split("[")[1].rstrip("]*") or 32)
-        spark = _session(str(n), event_log=True)
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+        from notjusthtml_searchengine_spark.session import get_spark
+
+        os.makedirs("/tmp/njh_eventlog", exist_ok=True)
+        spark = get_spark(
+            app_name="bench-extra-crawl",
+            master=master,
+            shuffle_partitions=max(n, 8),
+            extra_confs={
+                "spark.ui.showConsoleProgress": "false",
+                "spark.local.dir": "/dev/shm/spark_graft_local",
+                "spark.sql.adaptive.enabled": os.environ.get(
+                    "SPARK_GRAFT_PROFILE_AQE", "false"
+                ),
+                "spark.eventLog.enabled": "true",
+                "spark.eventLog.dir": "/tmp/njh_eventlog",
+                "spark.eventLog.compress": "false",
+            },
+        )
         spark.sparkContext.setLogLevel("ERROR")
         local_dir = "/dev/shm/spark_graft_local"
         os.makedirs(local_dir, exist_ok=True)

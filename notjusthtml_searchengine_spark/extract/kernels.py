@@ -40,13 +40,23 @@ _HEADING_MULT = {"h1": 10, "h2": 9, "h3": 8, "h4": 7, "h5": 6, "h6": 5, "h7": 4}
 
 
 def extract_keywords(node: Node, multiplier: int = 1) -> list[tuple[int, str]]:
-    """Reference extractKeywords: [(visibility, cleaned_text), ...]."""
-    multiplier = _HEADING_MULT.get(node.data, multiplier)
+    """Reference extractKeywords: [(visibility, cleaned_text), ...].
+
+    Iterative pre-order with the heading multiplier carried on the
+    stack — identical emission order and inheritance semantics to the
+    recursive form (self first, children left-to-right), without the
+    per-node Python call overhead (r6)."""
     out: list[tuple[int, str]] = []
-    if node.type == TEXT and node.data != "":
-        out.append((multiplier, go_clean(node.data)))
-    for child in node.children:
-        out.extend(extract_keywords(child, multiplier))
+    stack = [(node, multiplier)]
+    pop = stack.pop
+    get_mult = _HEADING_MULT.get
+    while stack:
+        n, mult = pop()
+        mult = get_mult(n.data, mult)
+        if n.type == TEXT and n.data != "":
+            out.append((mult, go_clean(n.data)))
+        for child in reversed(n.children):
+            stack.append((child, mult))
     return out
 
 

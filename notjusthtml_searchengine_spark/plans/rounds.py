@@ -1114,27 +1114,26 @@ class CrawlEngine:
         # Round counters: ONE post-flush aggregation job over the (now
         # materialized) cached frames — replaces the four standalone
         # count jobs the round used to run before flushing.
-        self.spark.sparkContext.setJobDescription(f"r{r:05d}:counters")
-        zero = F.lit(0).cast("long").alias("v")
-        tagged = (
-            ok.select(F.lit("ok").alias("k"), F.col("size").cast("long").alias("v"))
-            .unionByName(rated.select(F.lit("links").alias("k"), zero))
-            .unionByName(
-                new.filter(F.col("priority") > 0).select(
-                    F.lit("frontier").alias("k"), zero
-                )
-            )
-            .unionByName(errors.select(F.lit("errors").alias("k"), zero))
+        # Round counters from the parquet FOOTERS of the sinks just
+        # written (each sink is 1:1 with the frame the old counter job
+        # counted: contents=ok, link_rels=rated, errors, frontier_delta
+        # =new frontier rows) — no Spark job, no cache re-scan. The one
+        # count not derivable from a sink (new-frontier rows folded
+        # into a compaction's full rewrite) runs as a single cached-
+        # scan job on compaction rounds only.
+        pages_fetched = self.state.sink_rows(r, "contents")
+        links_found = self.state.sink_rows(r, "link_rels")
+        n_errors = self.state.sink_rows(r, "errors")
+        bytes_ok = (
+            self.state.sink_column_sum(r, "contents", "size")
+            if pages_fetched
+            else 0
         )
-        agg_rows = tagged.groupBy("k").agg(
-            F.count(F.lit(1)).alias("n"), F.sum("v").alias("v")
-        ).collect()
-        got = {row["k"]: row["n"] for row in agg_rows}
-        bytes_ok = next((int(r["v"] or 0) for r in agg_rows if r["k"] == "ok"), 0)
-        pages_fetched = int(got.get("ok", 0))
-        links_found = int(got.get("links", 0))
-        n_new_frontier = int(got.get("frontier", 0))
-        n_errors = int(got.get("errors", 0))
+        if r % cfg.compact_seen_every == 0:
+            self.spark.sparkContext.setJobDescription(f"r{r:05d}:counters")
+            n_new_frontier = new_frontier.count()
+        else:
+            n_new_frontier = self.state.sink_rows(r, "frontier_delta")
 
         wall_ms = int((time.monotonic() - t0) * 1000)
         stats = {

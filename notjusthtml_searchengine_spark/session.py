@@ -49,6 +49,9 @@ DEFAULT_CONFS: dict[str, str] = {
     # slowdown on a 32-thread shuffle of 60KB html bodies vs
     # ParallelGC. Batch engines want throughput GC; same flag goes in
     # spark.executor.extraJavaOptions on a real cluster.
+    #
+    # (MaxNewSize is appended per-session in get_spark — it scales
+    # with the session's core count, see there.)
     "spark.driver.extraJavaOptions": "-XX:+UseParallelGC",
     "spark.executor.extraJavaOptions": "-XX:+UseParallelGC",
 }
@@ -75,9 +78,39 @@ def get_spark(
         except ValueError:
             shuffle_partitions = 32
 
+    # Bound the ParallelGC nursery, scaled to the session's core count
+    # (~0.5 GB per concurrent task, floor 2g, cap 8g). ParallelGC
+    # defaults the young gen to ~1/3 of the heap, and on a large heap
+    # (the bench runs 48g) every batch's allocations cold-sweep a
+    # ~16 GB eden — page zeroing and TLB misses, not GC pauses: the
+    # SAME frozen-bench crawl leg measured 205-260s at 48g vs 138s at
+    # 8g, and 142s at 48g with a 2g nursery (r6). Too small starves
+    # concurrent tasks instead (local[8] crawl: 112s at 2g vs 73s at
+    # 4g), so the bound follows parallelism — which also matches
+    # production executors (4-8 cores -> 2-4g nursery).
+    try:
+        cores = int(master.split("[")[1].rstrip("]*")) if "[" in master else 0
+    except ValueError:
+        cores = 0
+    cores = cores or (os.cpu_count() or 8)
+    nursery_g = min(max(cores // 2, 2), 8)
+    confs = dict(DEFAULT_CONFS)
+    for key in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
+        confs[key] = f"{confs[key]} -XX:MaxNewSize={nursery_g}g"
+
     builder = SparkSession.builder.appName(app_name).master(master)
-    for k, v in DEFAULT_CONFS.items():
+    for k, v in confs.items():
         builder = builder.config(k, v)
+    # Debug/ops hook: extra session confs from the environment as a
+    # JSON object (e.g. event logging for profiling a run whose
+    # launcher cannot be edited). Applied before caller extra_confs so
+    # explicit caller settings still win.
+    env_confs = os.environ.get("SPARK_GRAFT_EXTRA_CONFS")
+    if env_confs:
+        import json
+
+        for k, v in json.loads(env_confs).items():
+            builder = builder.config(k, str(v))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     builder = builder.config("spark.default.parallelism", str(shuffle_partitions))
     for k, v in (extra_confs or {}).items():

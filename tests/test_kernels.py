@@ -112,3 +112,85 @@ def test_extract_keywords_entity_decoding():
     root = parse_html(b"<p>fish &amp; chips &lt;3</p>")
     kws = extract_keywords(root)
     assert kws == [(1, "fish & chips <3")]
+
+
+def _tree_eq(a, b):
+    return (
+        a.type == b.type
+        and a.data == b.data
+        and a.attrs == b.attrs
+        and len(a.children) == len(b.children)
+        and all(_tree_eq(x, y) for x, y in zip(a.children, b.children))
+    )
+
+
+def test_fast_tokenizer_differential_fuzz():
+    """r6: the strict-subset fast tokenizer must produce the EXACT
+    tree html.parser produces — on subset documents because the
+    grammar is equivalent, on everything else because it bails out.
+    Fuzz with pieces biased at the grammar boundary: every quote
+    style, valueless/duplicate/weird attrs, self-closing, stray '<',
+    entities, comments, script/style, unterminated tags, NULs."""
+    import random
+
+    from notjusthtml_searchengine_spark.extract.html_tree import (
+        _TreeBuilder,
+        _parse_fast,
+    )
+
+    def slow(s):
+        b = _TreeBuilder()
+        b.feed(s)
+        b.close()
+        return b.root
+
+    pieces = [
+        "text and words ", "x < y ", "<3 ", "a > b ", "&amp; ", "&notent ",
+        "<p>", "</p>", "<div>", "</div>", "<h1>", "</h1>", "<h2>", "</h2>",
+        "<br>", "<br/>", "<br />", "<img src=x>", "<img src='y'/>",
+        '<a href="http://h.example/p/1">', "<a href=rel/p>", "</a>",
+        "<a href=x title='t'>", '<a href="a b" data-x>', "<a checked>",
+        "<a a=1 a=2>", "<A HREF=UP>", "<a-b>", "</a-b>",
+        "<a href=>", "<a href= >", "<a href='unterminated>",
+        "<a href=\"q\"x=y>", "<a x=`tick`>", "<a x==y>",
+        "<!-- comment -->", "<!doctype html>", "<?pi?>",
+        "<script>var x=1;</script>", "<style>.a{}</style>",
+        "<a\thref='tab'>", "< notag>", "</ p>", "</p >", "</p/>",
+        "<p", "text\x00nul", "<ul><li>item</li></ul>",
+    ]
+    rng = random.Random(13)
+    n_fast = 0
+    for i in range(4000):
+        doc = "".join(
+            rng.choice(pieces) for _ in range(rng.randrange(1, 14))
+        )
+        fast = _parse_fast(doc)
+        if fast is None:
+            continue  # bailed — html.parser path used either way
+        n_fast += 1
+        assert _tree_eq(fast, slow(doc)), repr(doc)
+    # the generator must actually exercise the fast path
+    assert n_fast > 300, n_fast
+
+
+def test_fast_tokenizer_on_corpus_pages(corpus):
+    """Every generator corpus page must parse identically through the
+    fast path and html.parser (and the bench corpus shape is simple
+    enough that the fast path actually takes it)."""
+    from notjusthtml_searchengine_spark.extract.html_tree import (
+        _TreeBuilder,
+        _parse_fast,
+    )
+
+    n_fast = 0
+    for p in corpus.pages:
+        s = p["html"].decode("utf-8", errors="replace")
+        fast = _parse_fast(s)
+        if fast is None:
+            continue
+        n_fast += 1
+        b = _TreeBuilder()
+        b.feed(s)
+        b.close()
+        assert _tree_eq(fast, b.root), p["url"]
+    assert n_fast > 0
