@@ -369,6 +369,7 @@ def semdedup_flags(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    block_target: int = 8192,
 ) -> DataFrame:
     """Semantic deduplication (Abbas et al. 2023, "SemDeDup: Data-
     efficient learning at web-scale through semantic deduplication"):
@@ -395,9 +396,15 @@ def semdedup_flags(
     partitioned by cluster, never a global crossJoin — at the paper's
     operating point (k scaled so clusters average ~1k members, e.g.
     k=100k for 10^8 docs) Σ|c|² stays ~1k× corpus size. A runaway
-    cluster (embedding-space hub) is the same hot-key problem as every
-    other op here: cap it first with the stratified_cap two-phase
-    pattern on cluster_id, or raise k."""
+    cluster (embedding-space hub) is bounded by EXACT block-pair
+    decomposition (r6): members of a cluster larger than
+    ``block_target`` are split into B = ⌈|c|/block_target⌉
+    deterministic hash blocks; the comparison side is replicated to
+    every block, so the join key (cid, block) fans the hot cluster
+    over B reducers while producing exactly the same (i, j) pairs —
+    each pair materializes once, in row i's block (same construction
+    as the two-phase stratified_cap / salted joins, guide §2.5; result
+    equality pinned by tests/test_similarity.py)."""
     if cents is None:
         cents = kmeans_centroids(
             embeddings, k=k_clusters, n_iter=n_iter, id_col=id_col, vec_col=vec_col
@@ -411,14 +418,24 @@ def semdedup_flags(
         .filter(F.col("rk") == 1)
         .select(F.col(id_col), "vq", "cid")
     )
-    left = assigned.select(
-        "cid", F.col(id_col).alias("_i"), F.col("vq").alias("_vi")
+    sizes = assigned.groupBy("cid").agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(block_target)).cast("int").alias("_nb")
     )
-    right = assigned.select(
-        "cid", F.col(id_col).alias("_j"), F.col("vq").alias("_vj")
+    sized = assigned.join(F.broadcast(sizes), "cid")
+    left = sized.select(
+        "cid",
+        F.col(id_col).alias("_i"),
+        F.col("vq").alias("_vi"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.col("_nb")).cast("int").alias("_blk"),
+    )
+    right = sized.select(
+        "cid",
+        F.col(id_col).alias("_j"),
+        F.col("vq").alias("_vj"),
+        F.explode(F.sequence(F.lit(0), F.col("_nb") - 1)).alias("_blk"),
     )
     agg = (
-        left.join(right, "cid")
+        left.join(right, ["cid", "_blk"])
         .filter(F.col("_j") < F.col("_i"))
         .withColumn("_cos", cosine_q(F.col("_vi"), F.col("_vj")))
         .groupBy("cid", "_i")

@@ -327,3 +327,28 @@ def test_semdedup_no_global_crossjoin(spark, emb):
     # the only joins allowed are the broadcast centroid joins and the
     # cid-keyed pair join / result join
     assert "CartesianProduct" not in plan, plan
+
+
+def test_semdedup_block_split_exact(spark, emb):
+    """r6 hot-cluster bound: forcing multi-block decomposition
+    (block_target tiny => every cluster splits into many hash blocks)
+    must produce EXACTLY the rows of the single-block form — the
+    block-pair fan-out is a physical re-partitioning of the same pair
+    space, never a semantic change."""
+    from notjusthtml_searchengine_spark.operators.similarity import (
+        semdedup_flags,
+    )
+
+    base = sorted(
+        map(tuple, semdedup_flags(
+            emb, k_clusters=4, threshold=0.95, n_iter=1,
+            block_target=1 << 20,
+        ).collect())
+    )
+    split = sorted(
+        map(tuple, semdedup_flags(
+            emb, k_clusters=4, threshold=0.95, n_iter=1, block_target=7
+        ).collect())
+    )
+    assert base == split
+    assert len(base) == emb.count()
