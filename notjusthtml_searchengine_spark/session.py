@@ -93,7 +93,13 @@ def get_spark(
     except ValueError:
         cores = 0
     cores = cores or (os.cpu_count() or 8)
-    nursery_g = min(max(cores // 2, 2), 8)
+    try:
+        heap_g = int(
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g").lower().rstrip("g")
+        )
+    except ValueError:
+        heap_g = 8
+    nursery_g = min(max(cores // 2, 2), 8, max(heap_g // 4, 1))
     confs = dict(DEFAULT_CONFS)
     for key in ("spark.driver.extraJavaOptions", "spark.executor.extraJavaOptions"):
         confs[key] = f"{confs[key]} -XX:MaxNewSize={nursery_g}g"
