@@ -100,6 +100,102 @@ def extract_links_flat(
     return df.mapInPandas(gen, out_schema)
 
 
+def extract_with_meta(df, url_col: str = "url_norm", html_col: str = "html",
+                      gate_col: str = "gate"):
+    """U1 + the per-page meta columns (U4 sniff, F8/F9 digests, P3
+    size) in ONE pass over the fat rows (r6).
+
+    The round driver previously paid two full corpus scans per round
+    for these: one JVM scan computing sniff/sha1/sha512/size (the
+    ``meta`` frame) and one Python scan running link extraction —
+    ~13-19s of decode CPU per scan at bench scale. This kernel emits
+    BOTH from a single scan: for every input row one ``kind=0`` meta
+    row (content_type, sha1, sha512, size — hashlib digests and the
+    Python sniff are byte-identical to the JVM ``unhex(sha1(html))``
+    / ``unhex(sha2(html,512))`` / ``sniff_col`` expressions, parity
+    pinned by tests), and for rows passing the html gate (P5 sniff —
+    computed once and reused — plus P6's case-sensitive suffix skip)
+    the U1 flat link/keyword rows (``kind=1``) with the exact
+    extract_links_flat semantics. All non-html input columns are
+    carried through on every output row.
+    """
+    import hashlib
+
+    carry = [f for f in df.schema.fields if f.name not in (html_col,)]
+    out_schema = T.StructType(
+        list(carry)
+        + [
+            T.StructField("kind", T.IntegerType(), False),
+            T.StructField("content_type", T.StringType(), True),
+            T.StructField("sha1", T.BinaryType(), True),
+            T.StructField("sha512", T.BinaryType(), True),
+            T.StructField("size", T.IntegerType(), True),
+            T.StructField("pos", T.IntegerType(), True),
+            T.StructField("dest_url", T.StringType(), True),
+            T.StructField("kw_idx", T.IntegerType(), True),
+            T.StructField("visibility", T.IntegerType(), True),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    carry_names = [f.name for f in carry]
+    out_names = [f.name for f in out_schema.fields]
+    link_nones = {"pos": None, "dest_url": None, "kw_idx": None,
+                  "visibility": None, "text": None}
+
+    def gen(batches):
+        for pdf in batches:
+            cols: dict[str, list] = {n: [] for n in out_names}
+            urls = pdf[url_col].tolist()
+            htmls = pdf[html_col].tolist()
+            gates = pdf[gate_col].tolist() if gate_col in pdf else ["ok"] * len(urls)
+            carries = {n: pdf[n].tolist() for n in carry_names}
+
+            def put_carry(i):
+                for n in carry_names:
+                    cols[n].append(carries[n][i])
+
+            for i, (u, h) in enumerate(zip(urls, htmls)):
+                if h is None or u is None:
+                    continue
+                ct = detect_content_type(h)
+                put_carry(i)
+                cols["kind"].append(0)
+                cols["content_type"].append(ct)
+                cols["sha1"].append(hashlib.sha1(h).digest())
+                cols["sha512"].append(hashlib.sha512(h).digest())
+                cols["size"].append(len(h))
+                for n, v in link_nones.items():
+                    cols[n].append(v)
+                if (
+                    gates[i] != "ok"
+                    or u.endswith((".jpeg", ".png", ".jpg"))
+                    or not ct.startswith("text/html")
+                ):
+                    continue
+                for pos, lnk in enumerate(extract_links(u, h)):
+                    kws = lnk["keywords"] or [None]
+                    for ki, kw in enumerate(kws):
+                        put_carry(i)
+                        cols["kind"].append(1)
+                        cols["content_type"].append(None)
+                        cols["sha1"].append(None)
+                        cols["sha512"].append(None)
+                        cols["size"].append(None)
+                        cols["pos"].append(pos)
+                        cols["dest_url"].append(lnk["dest_url"])
+                        if kw is None:
+                            cols["kw_idx"].append(None)
+                            cols["visibility"].append(None)
+                            cols["text"].append(None)
+                        else:
+                            cols["kw_idx"].append(ki)
+                            cols["visibility"].append(kw["visibility"])
+                            cols["text"].append(kw["text"])
+            yield pd.DataFrame(cols, columns=out_names)
+
+    return df.mapInPandas(gen, out_schema)
+
+
 @pandas_udf(T.StringType())
 def visible_text_udf(html: pd.Series) -> pd.Series:
     """Kernel U2: page html → byte-identical visible text."""

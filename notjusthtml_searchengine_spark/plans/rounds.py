@@ -37,9 +37,8 @@ from pyspark.sql import functions as F
 _CACHE = StorageLevel.MEMORY_AND_DISK
 
 from .. import schemas
-from ..extract.udfs import extract_links_flat
+from ..extract.udfs import extract_with_meta
 from ..functions.urlnorm import host_expr, path_expr, protocol_expr
-from ..functions.sniff import sniff_col
 from ..media.udfs import exif_udf, phash_udf
 from ..operators import bloom as bloom_ops
 from ..operators import crawl_ops as ops
@@ -608,25 +607,42 @@ class CrawlEngine:
                 F.xxhash64("host"),
                 F.pmod(F.col("url_hash"), F.lit(cfg.salt)),
             )
-        # Fat side (html) — consumed at most 4×: meta materialization,
-        # blob-content join, media magic-byte gate, link extraction.
-        # Either cached (serialized) or re-derived per consumer from
-        # the compressed scan + broadcast join, per cfg.cache_fat.
+        # Fat side (html) — consumed at most 3× (r6): the fused
+        # extract+meta kernel pass, the blob-content join, and the
+        # media magic-byte gate. Either cached (serialized) or
+        # re-derived per consumer from the compressed scan + broadcast
+        # join, per cfg.cache_fat.
         if cfg.cache_fat:
             gated = gated.persist(_CACHE)
-        # Skinny cache: every per-page derived column (sniff, digests,
-        # ids) computed EXACTLY ONCE over the fat rows; the dozen sink/
+        # ONE fat pass for extraction AND the per-page meta columns
+        # (r6): sniff/sha1/sha512/size ride the same scan that feeds
+        # U1 instead of a second full corpus decode per round (the
+        # kernel's hashlib/sniff outputs are byte-identical to the
+        # former JVM expressions — parity pinned in tests). Lazy
+        # localCheckpoint at the serialized level: one materialization
+        # under cache locks, short plans for every consumer.
+        combined = extract_with_meta(
+            gated.select(
+                "url_norm",
+                "host",
+                "depth",
+                F.unix_micros("warc_ts").alias("time_found"),
+                "gate",
+                "html",
+            ),
+            url_col="url_norm",
+        ).localCheckpoint(eager=False, storageLevel=_CACHE)
+        # Skinny meta cache: one row per fetched page; the dozen sink/
         # stat consumers below scan this cheap projection instead of
-        # re-deserializing the html cache and re-hashing per branch.
+        # the 30x-larger combined frame.
         meta = (
-            gated.withColumn("content_type", sniff_col("html"))
-            .withColumn("sha1", F.unhex(F.sha1("html")))
-            .withColumn("sha512", F.unhex(F.sha2("html", 512)))
-            .withColumn("size", F.length("html").cast("int"))
+            combined.filter(F.col("kind") == 0)
+            .select(
+                "url_norm", "host", "depth", "time_found", "gate",
+                "content_type", "sha1", "sha512", "size",
+            )
             .withColumn("site_id", F.xxhash64("url_norm"))
             .withColumn("content_id", F.xxhash64("url_norm", F.lit(r)))
-            .withColumn("time_found", F.unix_micros("warc_ts"))
-            .drop("html")
             .persist(_CACHE)
         )
         ok = meta.filter(F.col("gate") == "ok")
@@ -852,34 +868,27 @@ class CrawlEngine:
             ).persist(_CACHE)
             pending.append((round_robots, "robots"))
 
-        # ---- P5/P6 + U1: link extraction (flat: one row per keyword,
+        # ---- P5/P6 + U1: the flat link/keyword rows are the kind=1
+        # slice of the fused pass above (one row per keyword,
         # all-scalar Arrow transfer; links/keywords are shuffle-free
-        # filters of the same persisted frame). The P5 html-sniff gate
-        # runs INSIDE the kernel (sniff_gate=True) and P6's image-
-        # suffix skip is a JVM filter — exactly one Python stage. -------
+        # filters of the same checkpointed frame). The P5 html-sniff
+        # gate and P6's image-suffix skip both run INSIDE the kernel —
+        # still exactly one Python stage per round.
         # NOTE: case-SENSITIVE suffix skip — html.go:169 uses
         # strings.HasSuffix on the raw URL (only the priority rule at
         # crawling.go:20 lowercases first).
-        htmlable = gated.filter(
-            (F.col("gate") == "ok")
-            & ~F.col("url_norm").rlike(r"\.(jpeg|png|jpg)$")
-        ).select(
-            F.col("url_norm").alias("origin_url"),
-            "depth",
-            F.unix_micros("warc_ts").alias("time_found"),
-            "html",
+        flat = (
+            combined.filter(F.col("kind") == 1)
+            .select(
+                F.col("url_norm").alias("origin_url"),
+                "depth", "time_found", "pos", "dest_url",
+                "kw_idx", "visibility", "text",
+            )
+            .withColumn(
+                "link_id",
+                F.xxhash64("origin_url", "dest_url", "pos", F.lit(r)),
+            )
         )
-        # lazy localCheckpoint instead of persist (r6): same serialized
-        # storage level and the same once-per-round materialization
-        # (first flush job computes it under per-partition cache
-        # locks), but downstream plans — rated, candidates, seen chain,
-        # half the sinks — analyze a short scan instead of the whole
-        # scan⋈batch⋈mapInPandas lineage on the driver (guide §7.3).
-        flat = extract_links_flat(
-            htmlable, url_col="origin_url", sniff_gate=True
-        ).withColumn(
-            "link_id", F.xxhash64("origin_url", "dest_url", "pos", F.lit(r))
-        ).localCheckpoint(eager=False, storageLevel=_CACHE)
 
         keywords = flat.filter(F.col("kw_idx").isNotNull()).select(
             "link_id", "visibility", "text"
@@ -1180,7 +1189,7 @@ class CrawlEngine:
                 self.state.gc_state(r, keep_rounds=1, spark=self.spark)
             )
 
-        # batch/flat are localCheckpoint'd (not persisted) — their
+        # batch/combined are localCheckpoint'd (not persisted) — their
         # blocks are released by the ContextCleaner when the round's
         # references drop
         unpersist = [meta, rated, new, hashed, probed, round_robots]
