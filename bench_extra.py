@@ -48,6 +48,12 @@ def _session(cpus: str, event_log: bool = False):
 
 
 def main() -> None:
+    # BEFORE any package import: session.DEFAULT_CONFS snapshots
+    # $SPARK_GRAFT_DRIVER_MEM at import time, and the frozen bench legs
+    # run 48g — a profiler that defaults differently measures a
+    # different JVM (r6: this mismatch put an 8g heap under the
+    # crawl-profile runs).
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     ap = argparse.ArgumentParser()
     ap.add_argument("--queries", nargs="*", default=None)
     ap.add_argument("--explain", nargs="*", default=None)

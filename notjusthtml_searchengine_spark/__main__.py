@@ -21,6 +21,27 @@ from .plans.rounds import CrawlConfig, CrawlEngine
 from .session import get_spark
 
 
+def _local_tree_bytes(path: str | None) -> int:
+    """On-disk bytes of a local file/dir (0 for None or remote URIs)."""
+    import os
+
+    if not path or "://" in path:
+        return 0
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+    except OSError:
+        return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(prog="notjusthtml_searchengine_spark")
     ap.add_argument("--pages", default=None, help="pages parquet path/dir")
@@ -114,7 +135,13 @@ def main() -> None:
     for req in ("pages", "seeds", "flagged"):
         if getattr(args, req) is None:
             ap.error(f"--{req} is required for crawling")
-    spark = get_spark(app_name="njh-crawl", master=args.master)
+    spark = get_spark(
+        app_name="njh-crawl",
+        master=args.master,
+        # local paths only (remote stores size their executors
+        # explicitly); feeds the volume-scaled GC nursery bound
+        input_bytes=_local_tree_bytes(args.pages),
+    )
     cfg = CrawlConfig(
         state_dir=args.state,
         round_budget=args.round_budget,

@@ -8,6 +8,7 @@ small (session.py) so batches of near-20MB pages fit in memory.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -69,32 +70,48 @@ def extract_links_flat(
     carry_names = [f.name for f in carry]
     out_names = [f.name for f in out_schema.fields]
 
+    # Emission is take-based (r6): the per-output-row python work is
+    # ONE index append plus the five link fields; the carried input
+    # columns are attached afterwards with one vectorized numpy
+    # fancy-index per column instead of len(carry) list appends per
+    # output row (~30x fan-out per page makes those appends a
+    # measurable slice of the kernel wall).
     def gen(batches):
         for pdf in batches:
-            cols: dict[str, list] = {n: [] for n in out_names}
             urls = pdf[url_col].tolist()
             htmls = pdf[html_col].tolist()
-            carries = {n: pdf[n].tolist() for n in carry_names}
+            idx: list[int] = []
+            poss: list[int] = []
+            dests: list[str] = []
+            kwis: list[int | None] = []
+            viss: list[int | None] = []
+            texts: list[str | None] = []
             for i, (u, h) in enumerate(zip(urls, htmls)):
                 if h is None or u is None:
                     continue
                 if sniff_gate and not detect_content_type(h).startswith("text/html"):
                     continue
                 for pos, lnk in enumerate(extract_links(u, h)):
+                    dest = lnk["dest_url"]
                     kws = lnk["keywords"] or [None]
                     for ki, kw in enumerate(kws):
-                        for n in carry_names:
-                            cols[n].append(carries[n][i])
-                        cols["pos"].append(pos)
-                        cols["dest_url"].append(lnk["dest_url"])
+                        idx.append(i)
+                        poss.append(pos)
+                        dests.append(dest)
                         if kw is None:
-                            cols["kw_idx"].append(None)
-                            cols["visibility"].append(None)
-                            cols["text"].append(None)
+                            kwis.append(None)
+                            viss.append(None)
+                            texts.append(None)
                         else:
-                            cols["kw_idx"].append(ki)
-                            cols["visibility"].append(kw["visibility"])
-                            cols["text"].append(kw["text"])
+                            kwis.append(ki)
+                            viss.append(kw["visibility"])
+                            texts.append(kw["text"])
+            take = np.asarray(idx, dtype=np.intp)
+            cols = {n: pdf[n].to_numpy()[take] for n in carry_names}
+            cols.update(
+                pos=poss, dest_url=dests, kw_idx=kwis,
+                visibility=viss, text=texts,
+            )
             yield pd.DataFrame(cols, columns=out_names)
 
     return df.mapInPandas(gen, out_schema)
@@ -139,33 +156,44 @@ def extract_with_meta(df, url_col: str = "url_norm", html_col: str = "html",
     )
     carry_names = [f.name for f in carry]
     out_names = [f.name for f in out_schema.fields]
-    link_nones = {"pos": None, "dest_url": None, "kw_idx": None,
-                  "visibility": None, "text": None}
+    meta_cols = ("content_type", "sha1", "sha512", "size")
+    link_cols = ("pos", "dest_url", "kw_idx", "visibility", "text")
 
+    # Take-based emission (r6, same construction as extract_links_flat
+    # above): the kind=0 meta rows and kind=1 link rows are built as
+    # two separate column blocks — per output row only the block's own
+    # fields are appended in python, the carried input columns are
+    # attached with one vectorized numpy fancy-index per column, and
+    # the opposite block's fields are nulled wholesale. Downstream
+    # consumers filter on ``kind``, so block order (all meta rows of a
+    # batch, then its link rows) is irrelevant.
     def gen(batches):
         for pdf in batches:
-            cols: dict[str, list] = {n: [] for n in out_names}
             urls = pdf[url_col].tolist()
             htmls = pdf[html_col].tolist()
             gates = pdf[gate_col].tolist() if gate_col in pdf else ["ok"] * len(urls)
-            carries = {n: pdf[n].tolist() for n in carry_names}
 
-            def put_carry(i):
-                for n in carry_names:
-                    cols[n].append(carries[n][i])
+            m_idx: list[int] = []
+            m_ct: list[str] = []
+            m_sha1: list[bytes] = []
+            m_sha512: list[bytes] = []
+            m_size: list[int] = []
+            l_idx: list[int] = []
+            l_pos: list[int] = []
+            l_dest: list[str] = []
+            l_kwi: list[int | None] = []
+            l_vis: list[int | None] = []
+            l_text: list[str | None] = []
 
             for i, (u, h) in enumerate(zip(urls, htmls)):
                 if h is None or u is None:
                     continue
                 ct = detect_content_type(h)
-                put_carry(i)
-                cols["kind"].append(0)
-                cols["content_type"].append(ct)
-                cols["sha1"].append(hashlib.sha1(h).digest())
-                cols["sha512"].append(hashlib.sha512(h).digest())
-                cols["size"].append(len(h))
-                for n, v in link_nones.items():
-                    cols[n].append(v)
+                m_idx.append(i)
+                m_ct.append(ct)
+                m_sha1.append(hashlib.sha1(h).digest())
+                m_sha512.append(hashlib.sha512(h).digest())
+                m_size.append(len(h))
                 if (
                     gates[i] != "ok"
                     or u.endswith((".jpeg", ".png", ".jpg"))
@@ -173,25 +201,41 @@ def extract_with_meta(df, url_col: str = "url_norm", html_col: str = "html",
                 ):
                     continue
                 for pos, lnk in enumerate(extract_links(u, h)):
+                    dest = lnk["dest_url"]
                     kws = lnk["keywords"] or [None]
                     for ki, kw in enumerate(kws):
-                        put_carry(i)
-                        cols["kind"].append(1)
-                        cols["content_type"].append(None)
-                        cols["sha1"].append(None)
-                        cols["sha512"].append(None)
-                        cols["size"].append(None)
-                        cols["pos"].append(pos)
-                        cols["dest_url"].append(lnk["dest_url"])
+                        l_idx.append(i)
+                        l_pos.append(pos)
+                        l_dest.append(dest)
                         if kw is None:
-                            cols["kw_idx"].append(None)
-                            cols["visibility"].append(None)
-                            cols["text"].append(None)
+                            l_kwi.append(None)
+                            l_vis.append(None)
+                            l_text.append(None)
                         else:
-                            cols["kw_idx"].append(ki)
-                            cols["visibility"].append(kw["visibility"])
-                            cols["text"].append(kw["text"])
-            yield pd.DataFrame(cols, columns=out_names)
+                            l_kwi.append(ki)
+                            l_vis.append(kw["visibility"])
+                            l_text.append(kw["text"])
+
+            carry_np = {n: pdf[n].to_numpy() for n in carry_names}
+            if m_idx:
+                take = np.asarray(m_idx, dtype=np.intp)
+                cols = {n: carry_np[n][take] for n in carry_names}
+                cols.update(
+                    kind=0, content_type=m_ct, sha1=m_sha1,
+                    sha512=m_sha512, size=m_size,
+                )
+                cols.update({n: None for n in link_cols})
+                yield pd.DataFrame(cols, columns=out_names)
+            if l_idx:
+                take = np.asarray(l_idx, dtype=np.intp)
+                cols = {n: carry_np[n][take] for n in carry_names}
+                cols["kind"] = 1
+                cols.update({n: None for n in meta_cols})
+                cols.update(
+                    pos=l_pos, dest_url=l_dest, kw_idx=l_kwi,
+                    visibility=l_vis, text=l_text,
+                )
+                yield pd.DataFrame(cols, columns=out_names)
 
     return df.mapInPandas(gen, out_schema)
 

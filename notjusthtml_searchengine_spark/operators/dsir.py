@@ -13,7 +13,16 @@ the scorer is one broadcast join.
   w(doc) = Σ_tok [ ln p_t(bucket(tok)) − ln p_b(bucket(tok)) ]
 
 with add-one smoothing over the bucket space:
-``p(b) = (c(b) + 1) / (total + n_buckets)``. The portable md5 bucket
+``p(b) = (c(b) + 1) / (total + n_buckets)``.
+
+In-corpus-background simplification (deliberate, r5-pinned): the
+background bucket counts are estimated over the FULL input —
+including the target rows — where Xie et al. hold the raw background
+separate. With a target slice that is a small fraction of the corpus
+this damps every weight by the same near-constant factor and leaves
+the ranking (what selection consumes) essentially unchanged; the
+oracle pins this exact formulation, so it is documented rather than
+changed. The portable md5 bucket
 hash and a final ``round(w, round_to)`` make the whole train→score
 path re-derivable in DuckDB exactly (same 1-2-ulp ln/round trick as
 lm.perplexity and bm25_scores).
