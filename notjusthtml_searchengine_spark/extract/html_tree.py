@@ -62,6 +62,11 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Node(ELEMENT, "#document")
         self.stack = [self.root]
+        # Elements carrying an href/src attribute, in creation order —
+        # which IS document pre-order of elements, so the link kernel
+        # can skip the full-tree re-walk (r6). Collected identically by
+        # the fast tokenizer below.
+        self.link_nodes: list[Node] = []
 
     # -- helpers ---------------------------------------------------
     def _top(self) -> Node:
@@ -84,12 +89,20 @@ class _TreeBuilder(HTMLParser):
                     break
         node = Node(ELEMENT, tag, [(k, v if v is not None else "") for k, v in attrs])
         self._top().children.append(node)
+        for k, _ in node.attrs:
+            if k == "href" or k == "src":
+                self.link_nodes.append(node)
+                break
         if tag not in _VOID:
             self.stack.append(node)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         node = Node(ELEMENT, tag, [(k, v if v is not None else "") for k, v in attrs])
         self._top().children.append(node)
+        for k, _ in node.attrs:
+            if k == "href" or k == "src":
+                self.link_nodes.append(node)
+                break
 
     def handle_endtag(self, tag: str) -> None:
         for i in range(len(self.stack) - 1, 0, -1):
@@ -139,8 +152,19 @@ _FAST_ATTR = _re.compile(
 _CDATA_TAGS = frozenset(("script", "style"))
 
 
-def _parse_fast(s: str) -> Node | None:
+def _parse_fast(s: str) -> tuple[Node, list[Node]] | None:
     """One-pass regex tokenization of the strict subset; None = bail.
+
+    Returns ``(root, link_nodes)`` — the same tree _TreeBuilder would
+    produce plus the href/src-carrying elements in document pre-order
+    (creation order), matching ``_TreeBuilder.link_nodes``.
+
+    The tokenizer and tree builder are FUSED (r6): the per-tag
+    callback indirection through HTMLParser-style handlers was ~25% of
+    the parse wall at corpus tag densities, and every branch below is
+    a line-for-line transcription of the corresponding _TreeBuilder
+    handler, so the tree is identical by construction (pinned by the
+    differential fuzzer + corpus tree-equality tests).
 
     The only prefilter scan is for '&' (character references touch
     both text and attribute values); every other out-of-subset
@@ -149,55 +173,109 @@ def _parse_fast(s: str) -> Node | None:
     or a parsed name in _CDATA_TAGS, bails the whole page."""
     if "&" in s:
         return None
-    builder = _TreeBuilder()
-    data = builder.handle_data
+    root = Node(ELEMENT, "#document")
+    stack = [root]
+    top = root
+    link_nodes: list[Node] = []
     pos = 0
     n = len(s)
     find = s.find
     match = _FAST_TAG.match
+    attr_iter = _FAST_ATTR.finditer
+    void = _VOID
+    closes_p = _CLOSES_P
+    cdata = _CDATA_TAGS
     while pos < n:
         lt = find("<", pos)
         if lt == -1:
-            data(s[pos:])
-            break
+            lt = n
         if lt > pos:
-            data(s[pos:lt])
+            # handle_data + _append_text: merge adjacent text runs
+            c = top.children
+            if c and c[-1].type == TEXT:
+                c[-1].data += s[pos:lt]
+            else:
+                c.append(Node(TEXT, s[pos:lt]))
+            if lt == n:
+                break
         m = match(s, lt)
         if m is None:
             return None  # '<' outside the strict grammar — replay slow
         end, name, raw_attrs, selfclose = m.groups()
         name = name.lower()
-        if name in _CDATA_TAGS:
+        if name in cdata:
             return None
         if end:
             if selfclose or raw_attrs.strip():
                 return None  # end tag with attrs/slash: parser-specific recovery
-            builder.handle_endtag(name)
+            # handle_endtag: pop to the matching open tag, else ignore
+            for i in range(len(stack) - 1, 0, -1):
+                if stack[i].data == name:
+                    del stack[i:]
+                    top = stack[-1]
+                    break
         else:
             if raw_attrs:
                 attrs = []
-                for a in _FAST_ATTR.finditer(raw_attrs):
+                is_link = False
+                for a in attr_iter(raw_attrs):
                     k, v = a.groups()
-                    if v is not None and v[0] in "\"'":
+                    if v is None:
+                        v = ""
+                    elif v[0] in "\"'":
                         v = v[1:-1]
-                    attrs.append((k.lower(), v))
+                    k = k.lower()
+                    if k == "href" or k == "src":
+                        is_link = True
+                    attrs.append((k, v))
             else:
                 attrs = []
+                is_link = False
             if selfclose:
-                builder.handle_startendtag(name, attrs)
+                # handle_startendtag: append, never pushed, no <p> close
+                node = Node(ELEMENT, name, attrs)
+                top.children.append(node)
             else:
-                builder.handle_starttag(name, attrs)
+                # handle_starttag: implicit <p> close, push unless void
+                if name in closes_p:
+                    for i in range(len(stack) - 1, 0, -1):
+                        if stack[i].data == "p":
+                            del stack[i:]
+                            top = stack[-1]
+                            break
+                node = Node(ELEMENT, name, attrs)
+                top.children.append(node)
+                if name not in void:
+                    stack.append(node)
+                    top = node
+            if is_link:
+                link_nodes.append(node)
         pos = m.end()
-    return builder.root
+    return root, link_nodes
 
 
 def parse_html(html_bytes: bytes) -> Node:
     """Parse UTF-8 HTML bytes into a Node tree (root = #document)."""
     s = html_bytes.decode("utf-8", errors="replace")
-    root = _parse_fast(s)
-    if root is not None:
-        return root
+    res = _parse_fast(s)
+    if res is not None:
+        return res[0]
     builder = _TreeBuilder()
     builder.feed(s)
     builder.close()
     return builder.root
+
+
+def parse_page(html_bytes: bytes) -> tuple[Node, list[Node]]:
+    """Parse + the href/src-carrying elements in document pre-order.
+
+    The link kernel iterates exactly these nodes instead of re-walking
+    the whole tree scanning every element's attrs (r6)."""
+    s = html_bytes.decode("utf-8", errors="replace")
+    res = _parse_fast(s)
+    if res is not None:
+        return res
+    builder = _TreeBuilder()
+    builder.feed(s)
+    builder.close()
+    return builder.root, builder.link_nodes

@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from ..functions.textclean import go_clean
 from ..functions.urlnorm import resolve
-from .html_tree import TEXT, Node, parse_html
+from .html_tree import TEXT, Node, parse_html, parse_page
 
 _HEADING_MULT = {"h1": 10, "h2": 9, "h3": 8, "h4": 7, "h5": 6, "h6": 5, "h7": 4}
 
@@ -46,10 +46,26 @@ def extract_keywords(node: Node, multiplier: int = 1) -> list[tuple[int, str]]:
     stack — identical emission order and inheritance semantics to the
     recursive form (self first, children left-to-right), without the
     per-node Python call overhead (r6)."""
+    get_mult = _HEADING_MULT.get
+    if node.type != TEXT:
+        # fast path for the dominant link shapes: an element with no
+        # children or exactly one text child — line-for-line what the
+        # generic walk below computes for those trees (including the
+        # raw-text-named-hN multiplier quirk on the child)
+        ch = node.children
+        if not ch:
+            return []
+        if len(ch) == 1:
+            c0 = ch[0]
+            if c0.type == TEXT:
+                if c0.data == "":
+                    return []
+                m = get_mult(node.data, multiplier)
+                m = get_mult(c0.data, m)
+                return [(m, go_clean(c0.data))]
     out: list[tuple[int, str]] = []
     stack = [(node, multiplier)]
     pop = stack.pop
-    get_mult = _HEADING_MULT.get
     while stack:
         n, mult = pop()
         mult = get_mult(n.data, mult)
@@ -66,11 +82,13 @@ def extract_links(origin_url: str, html_bytes: bytes) -> list[dict]:
     Returns [{"dest_url": str, "keywords": [{"visibility", "text"}]}]
     in document order (the reference's channel order for one page).
     """
-    root = parse_html(html_bytes)
+    _, link_nodes = parse_page(html_bytes)
     links: list[dict] = []
-    for node in root.pre_order():
-        if node.type != 1:  # ELEMENT
-            continue
+    # link_nodes = the href/src-carrying elements in document pre-order
+    # (collected during parse, r6) — iterating them is equivalent to
+    # walking every element and skipping those whose attr loop below
+    # would emit nothing.
+    for node in link_nodes:
         emitted_keywords = None
         for key, val in node.attrs:
             if key not in ("href", "src"):

@@ -158,19 +158,46 @@ def test_fast_tokenizer_differential_fuzz():
         "<a\thref='tab'>", "< notag>", "</ p>", "</p >", "</p/>",
         "<p", "text\x00nul", "<ul><li>item</li></ul>",
     ]
+    def _ref_link_nodes(root):
+        # independent re-derivation of the collected list: elements
+        # carrying href/src, document pre-order
+        return [
+            n
+            for n in root.pre_order()
+            if n.type == 1 and any(k in ("href", "src") for k, _ in n.attrs)
+        ]
+
     rng = random.Random(13)
     n_fast = 0
+    n_links = 0
     for i in range(4000):
         doc = "".join(
             rng.choice(pieces) for _ in range(rng.randrange(1, 14))
         )
-        fast = _parse_fast(doc)
-        if fast is None:
+        res = _parse_fast(doc)
+        if res is None:
             continue  # bailed — html.parser path used either way
         n_fast += 1
-        assert _tree_eq(fast, slow(doc)), repr(doc)
-    # the generator must actually exercise the fast path
+        fast, fast_links = res
+        b = _TreeBuilder()
+        b.feed(doc)
+        b.close()
+        assert _tree_eq(fast, b.root), repr(doc)
+        # link-node collection (r6): both builders must collect exactly
+        # the href/src elements of their own tree, in pre-order, by
+        # node identity
+        ref_fast = _ref_link_nodes(fast)
+        assert len(fast_links) == len(ref_fast) and all(
+            a is c for a, c in zip(fast_links, ref_fast)
+        ), repr(doc)
+        ref_slow = _ref_link_nodes(b.root)
+        assert len(b.link_nodes) == len(ref_slow) and all(
+            a is c for a, c in zip(b.link_nodes, ref_slow)
+        ), repr(doc)
+        n_links += len(fast_links)
+    # the generator must actually exercise the fast path AND links
     assert n_fast > 300, n_fast
+    assert n_links > 100, n_links
 
 
 def test_fast_tokenizer_on_corpus_pages(corpus):
@@ -185,12 +212,16 @@ def test_fast_tokenizer_on_corpus_pages(corpus):
     n_fast = 0
     for p in corpus.pages:
         s = p["html"].decode("utf-8", errors="replace")
-        fast = _parse_fast(s)
-        if fast is None:
+        res = _parse_fast(s)
+        if res is None:
             continue
         n_fast += 1
+        fast, fast_links = res
         b = _TreeBuilder()
         b.feed(s)
         b.close()
         assert _tree_eq(fast, b.root), p["url"]
+        assert [(n.data, n.attrs) for n in fast_links] == [
+            (n.data, n.attrs) for n in b.link_nodes
+        ], p["url"]
     assert n_fast > 0
